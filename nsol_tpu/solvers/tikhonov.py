@@ -1,0 +1,160 @@
+"""Tikhonov-regularized (robust) least squares: the quadratic engine.
+
+Solves ``min_x ½‖ρ((Ax−b)²)‖ + α/2 ‖Bx−b_reg‖²`` — the reference's
+``TikhonovLinearSolver`` (nsol/tikhonov_linear_solver.py), re-architected as
+a pure jittable function usable standalone, as the ADMM x-update, and as the
+``prox_linear_least_squares`` inner solve of the primal-dual path.
+
+Minimizer dispatch mirrors the reference's (:120-220):
+
+* ``"lsmr"``  → CGLS on the augmented system ``[A; √α·B] x = [b; √α·b_reg]``
+  with exactly ``iter_max`` iterations, then a post-hoc clip to bounds
+  (reference runs lsmr with atol=btol=0 so it is also fixed-trip: :146-158).
+* ``"lsq_linear"`` → bounded linear LS via projected FISTA on the normal
+  equations with a power-iteration Lipschitz estimate (:161-171).
+* ``"least_squares"`` → robust loss applied to the WHOLE augmented residual
+  (matching the scipy.least_squares semantics noted at :174-194), minimized
+  by the jittable box L-BFGS.
+* anything else (e.g. ``"L-BFGS-B"``) → box L-BFGS on the analytic cost
+  ``½‖ρ((Ax−b)²)‖ + α·½‖Bx‖²``. NOTE the reference's cost/gradient for this
+  path ignore ``b_reg`` (nsol/tikhonov_linear_solver.py:276-280) — a quirk
+  we reproduce for observable parity.
+
+All paths are fixed-iteration XLA programs: no host sync inside the solve.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from nsol_tpu.ops import losses as lf
+from nsol_tpu.solvers.cg import cgls
+from nsol_tpu.solvers.lbfgs import lbfgs_box
+
+__all__ = ["tikhonov_solve", "prox_linear_least_squares"]
+
+
+def _clip_bounds(x, bounds):
+    if bounds is None:
+        return x
+    return jnp.clip(x, bounds[0], bounds[1])
+
+
+def _power_iteration_L(apply_M, shape, dtype, iters=20):
+    """Largest-eigenvalue estimate of the SPD normal operator."""
+    v = jnp.ones(shape, dtype)
+    v = v / jnp.sqrt(jnp.sum(v * v))
+
+    def body(carry, _):
+        v, _ = carry
+        w = apply_M(v)
+        lam = jnp.sum(v * w)
+        nw = jnp.sqrt(jnp.sum(w * w))
+        v = w / jnp.where(nw > 0, nw, 1.0)
+        return (v, lam), None
+
+    (_, lam), _ = lax.scan(body, (v, jnp.asarray(1.0, dtype)), None,
+                           length=iters)
+    return jnp.abs(lam)
+
+
+def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
+                   data_loss="linear", data_loss_scale=1.0,
+                   minimizer="lsmr", iter_max=10,
+                   bounds=(0.0, np.inf), axis_name=None):
+    """Return the minimizer estimate. Pure function; callers jit.
+
+    ``A/A_adj`` map the solution space to data space; ``B/B_adj`` to the
+    regularizer space (identity, gradient, ...). ``alpha`` and ``b_reg`` may
+    be traced values (the ADMM inner solve relies on this).
+    """
+    if minimizer in ("lsmr", "lsq_linear") and data_loss != "linear":
+        raise ValueError(
+            "%s minimizer cannot be used with non-linear data loss"
+            % minimizer)
+
+    x0 = _clip_bounds(x0, bounds)
+    dtype = x0.dtype
+    sqrt_alpha = jnp.sqrt(jnp.asarray(alpha, dtype))
+    Bx0 = B(x0)
+    b_reg = jnp.broadcast_to(jnp.asarray(b_reg, dtype), Bx0.shape)
+
+    if minimizer == "lsmr":
+        # Augmented CGLS; alpha == 0 degrades gracefully to plain CGLS on A
+        # since the reg rows become identically zero.
+        def apply_aug(x):
+            return (A(x), sqrt_alpha * B(x))
+
+        def apply_aug_adj(y):
+            u, v = y
+            return A_adj(u) + sqrt_alpha * B_adj(v)
+
+        rhs = (b, sqrt_alpha * b_reg)
+        x = cgls(apply_aug, apply_aug_adj, rhs, x0, iters=iter_max,
+                 axis_name=axis_name)
+        return _clip_bounds(x, bounds)
+
+    if minimizer == "lsq_linear":
+        # Projected FISTA on normal equations M x = rhs,
+        # M = AᵀA + α BᵀB, rhs = Aᵀb + α Bᵀ b_reg.
+        alpha_t = jnp.asarray(alpha, dtype)
+
+        def apply_M(x):
+            return A_adj(A(x)) + alpha_t * B_adj(B(x))
+
+        rhs = A_adj(b) + alpha_t * B_adj(b_reg)
+        L = _power_iteration_L(apply_M, x0.shape, dtype)
+        step = 1.0 / jnp.where(L > 0, L, 1.0)
+
+        def body(carry, _):
+            x, y, t = carry
+            g = apply_M(y) - rhs
+            x_new = _clip_bounds(y - step * g, bounds)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+            return (x_new, y_new, t_new), None
+
+        (x, _, _), _ = lax.scan(
+            body, (x0, x0, jnp.asarray(1.0, dtype)), None, length=iter_max)
+        return x
+
+    if minimizer == "least_squares":
+        # Robust loss over the full augmented residual (reference :174-194).
+        def cost(x):
+            r_data = A(x) - b
+            r_reg = sqrt_alpha * (B(x) - b_reg)
+            c = lf.cost_from_residual(r_data, data_loss, data_loss_scale)
+            c += lf.cost_from_residual(
+                r_reg.reshape(-1), data_loss, data_loss_scale)
+            return c
+
+        lo = -jnp.inf if bounds is None else bounds[0]
+        hi = jnp.inf if bounds is None else bounds[1]
+        return lbfgs_box(cost, x0, lower=lo, upper=hi, iters=iter_max)
+
+    # Generic smooth path (reference's scipy.optimize.minimize branch,
+    # :197-220): analytic cost with the b_reg-ignoring regularizer quirk.
+    def cost(x):
+        r = A(x) - b
+        c = lf.cost_from_residual(r, data_loss, data_loss_scale)
+        Bx = B(x)
+        return c + jnp.asarray(alpha, dtype) * 0.5 * jnp.sum(Bx * Bx)
+
+    lo = -jnp.inf if bounds is None else bounds[0]
+    hi = jnp.inf if bounds is None else bounds[1]
+    return lbfgs_box(cost, x0, lower=lo, upper=hi, iters=iter_max)
+
+
+def prox_linear_least_squares(x, tau, A, A_adj, b, x0,
+                              iter_max=10, data_loss="linear",
+                              data_loss_scale=1.0, minimizer="lsmr",
+                              bounds=(0.0, np.inf), axis_name=None):
+    """Approximate prox of ``f(x)=½‖Ax−b‖²``: inner Tikhonov solve with
+    ``B=I, b_reg=x, alpha=1/τ`` (reference: nsol/proximal_operators.py:43-78).
+    """
+    ident = lambda z: z
+    return tikhonov_solve(
+        A, A_adj, ident, ident, b, b_reg=x, x0=x0, alpha=1.0 / tau,
+        data_loss=data_loss, data_loss_scale=data_loss_scale,
+        minimizer=minimizer, iter_max=iter_max, bounds=bounds,
+        axis_name=axis_name)

@@ -1,0 +1,236 @@
+"""Concrete solver classes: Tikhonov, ADMM, primal-dual.
+
+Reference-parity class surface over the functional cores. Each ``run()``
+compiles (once per static configuration) a single jitted program covering
+the full iteration loop including per-iteration measures; changing traced
+parameters like ``alpha``/``rho``/``data_loss_scale`` or the data does NOT
+retrace — which is what makes serial parameter sweeps cheap even before the
+vmapped fast path.
+
+Operators (``A``, ``B``, proxes) act on *shaped* arrays — the reference's
+flattening closures (nsol/application/run_deconvolution.py:120-129)
+disappear. ``B`` for TV solvers is the stacked ``(d, *shape)`` gradient.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nsol_tpu.solvers.base import Solver, LinearSolver
+from nsol_tpu.solvers import tikhonov as _tik
+from nsol_tpu.solvers import admm as _admm
+from nsol_tpu.solvers import primal_dual as _pd
+from nsol_tpu.ops import priors
+
+__all__ = ["TikhonovLinearSolver", "ADMMLinearSolver", "PrimalDualSolver"]
+
+
+def _make_record_fn(measures, x_scale):
+    """Build a jittable ``x -> {name: scalar}`` evaluating observer measures
+    on the *rescaled* iterate (observers see ``get_x()`` units;
+    nsol/solver.py:117-118)."""
+    if not measures:
+        return None
+
+    def record(x):
+        xs = x * x_scale
+        return {name: fn(xs) for name, fn in measures.items()}
+
+    return record
+
+
+class TikhonovLinearSolver(LinearSolver):
+    """``min_x ½‖ρ((Ax−b)²)‖ + α/2‖Bx−b_reg‖²``
+    (reference: nsol/tikhonov_linear_solver.py:25-280)."""
+
+    def __init__(self, A, A_adj, b, B, B_adj, x0, alpha=0.01, b_reg=0,
+                 data_loss="linear", data_loss_scale=1, minimizer="lsmr",
+                 iter_max=10, x_scale=1, verbose=0, bounds=(0, np.inf)):
+        LinearSolver.__init__(
+            self, A=A, A_adj=A_adj, b=b, x0=x0, alpha=alpha,
+            x_scale=x_scale, data_loss=data_loss,
+            data_loss_scale=data_loss_scale, minimizer=minimizer,
+            iter_max=iter_max, verbose=verbose)
+        self._B = B
+        self._B_adj = B_adj
+        self._b_reg = np.asarray(b_reg, dtype=np.float64) / self._x_scale
+        self._bounds = bounds
+        self._solve_cache = {}
+
+    def get_B(self):
+        return self._B
+
+    def get_B_adj(self):
+        return self._B_adj
+
+    def get_b_reg(self):
+        return np.array(self._b_reg) * self._x_scale
+
+    def _run(self):
+        if self._observer is not None:
+            self._observer.add_x(self.get_x())
+
+        key = (self._minimizer, self._iter_max, self._data_loss,
+               self._bounds, id(self._A), id(self._B))
+        if key not in self._solve_cache:
+            self._solve_cache[key] = jax.jit(
+                partial(_tik.tikhonov_solve,
+                        self._A, self._A_adj, self._B, self._B_adj,
+                        data_loss=self._data_loss,
+                        minimizer=self._minimizer,
+                        iter_max=self._iter_max,
+                        bounds=self._bounds))
+        solve = self._solve_cache[key]
+
+        x = solve(jnp.asarray(self._b), jnp.asarray(self._b_reg),
+                  jnp.asarray(self._x0), self._alpha,
+                  data_loss_scale=self._data_loss_scale)
+        self._x = np.asarray(x)
+
+        if self._observer is not None:
+            self._observer.add_x(self.get_x())
+
+    def _cost_regularization(self, x):
+        """``½‖Bx‖²`` — b_reg deliberately ignored (reference quirk at
+        nsol/tikhonov_linear_solver.py:276-280)."""
+        Bx = self._B(x)
+        return 0.5 * jnp.sum(Bx * Bx)
+
+
+class ADMMLinearSolver(LinearSolver):
+    """TV-regularized (robust) least squares via ADMM
+    (reference: nsol/admm_linear_solver.py:28-312)."""
+
+    def __init__(self, A, A_adj, b, B, B_adj, x0, dimension=None, b_reg=0,
+                 alpha=0.01, iter_max=10, minimizer="lsmr",
+                 data_loss="linear", data_loss_scale=1, rho=0.5,
+                 iterations=10, x_scale=1, verbose=0):
+        LinearSolver.__init__(
+            self, A=A, A_adj=A_adj, b=b, x0=x0, alpha=alpha,
+            x_scale=x_scale, data_loss=data_loss,
+            data_loss_scale=data_loss_scale, minimizer=minimizer,
+            iter_max=iter_max, verbose=verbose)
+        self._B = B
+        self._B_adj = B_adj
+        self._b_reg = np.asarray(b_reg, dtype=np.float64) / self._x_scale
+        self._dimension = dimension  # retained for API parity; shapes carry d
+        self._rho = float(rho)
+        self._iterations = int(iterations)
+        self._solve_cache = {}
+
+    def set_rho(self, rho):
+        self._rho = float(rho)
+
+    def get_rho(self):
+        return self._rho
+
+    def get_dimension(self):
+        return self._dimension
+
+    def set_iterations(self, iterations):
+        self._iterations = int(iterations)
+
+    def get_iterations(self):
+        return self._iterations
+
+    def _run(self):
+        measures = self._observer_measures()
+        record_fn = _make_record_fn(measures, self._x_scale)
+
+        key = (self._minimizer, self._iter_max, self._iterations,
+               self._data_loss, bool(record_fn), self._record_trajectory,
+               tuple(sorted(measures)) if measures else None,
+               id(self._A), id(self._B))
+        if key not in self._solve_cache:
+            self._solve_cache[key] = jax.jit(
+                partial(_admm.admm_solve,
+                        self._A, self._A_adj, self._B, self._B_adj,
+                        data_loss=self._data_loss,
+                        minimizer=self._minimizer,
+                        iterations=self._iterations,
+                        iter_max=self._iter_max,
+                        record_fn=record_fn,
+                        record_trajectory=self._record_trajectory))
+        solve = self._solve_cache[key]
+
+        x, records = solve(
+            jnp.asarray(self._b), jnp.asarray(self._b_reg),
+            jnp.asarray(self._x0), self._alpha, self._rho,
+            data_loss_scale=self._data_loss_scale)
+        self._x = np.asarray(x)
+        self._push_records(records)
+
+    def _cost_regularization(self, x):
+        """TV of ``Bx`` (reference: nsol/admm_linear_solver.py:311-312)."""
+        Bx = self._B(x)
+        return jnp.sum(jnp.sqrt(jnp.sum(Bx * Bx, axis=0)))
+
+
+class PrimalDualSolver(Solver):
+    """Chambolle–Pock primal-dual solver
+    (reference: nsol/primal_dual_solver.py:26-403)."""
+
+    def __init__(self, prox_f, prox_g_conj, B, B_conj, L2, x0, alpha=0.01,
+                 iterations=10, x_scale=1., verbose=0, alg_type="ALG2"):
+        Solver.__init__(self, x0=x0, x_scale=x_scale, verbose=verbose)
+        self._prox_f = prox_f
+        self._prox_g_conj = prox_g_conj
+        self._B = B
+        self._B_conj = B_conj
+        self._L2 = float(L2)
+        self._alpha = float(alpha)
+        self._iterations = int(iterations)
+        self._alg_type = alg_type
+        self._solve_cache = {}
+
+    def set_alpha(self, alpha):
+        self._alpha = float(alpha)
+
+    def get_alpha(self):
+        return self._alpha
+
+    def set_L2(self, L2):
+        self._L2 = float(L2)
+
+    def get_L2(self):
+        return self._L2
+
+    def set_alg_type(self, alg_type):
+        self._alg_type = alg_type
+
+    def get_alg_type(self):
+        return self._alg_type
+
+    def set_iterations(self, iterations):
+        self._iterations = int(iterations)
+
+    def get_iterations(self):
+        return self._iterations
+
+    def print_statistics(self, fmt="%.3e"):
+        pass
+
+    def _run(self):
+        measures = self._observer_measures()
+        record_fn = _make_record_fn(measures, self._x_scale)
+
+        key = (self._alg_type, self._iterations, bool(record_fn),
+               self._record_trajectory,
+               tuple(sorted(measures)) if measures else None,
+               id(self._B), id(self._prox_f), id(self._prox_g_conj))
+        if key not in self._solve_cache:
+            self._solve_cache[key] = jax.jit(
+                partial(_pd.primal_dual_solve,
+                        self._prox_f, self._prox_g_conj,
+                        self._B, self._B_conj,
+                        iterations=self._iterations,
+                        alg_type=self._alg_type,
+                        record_fn=record_fn,
+                        record_trajectory=self._record_trajectory))
+        solve = self._solve_cache[key]
+
+        x, records = solve(jnp.asarray(self._x0), self._alpha, self._L2)
+        self._x = np.asarray(x)
+        self._push_records(records)
