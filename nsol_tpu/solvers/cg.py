@@ -44,23 +44,31 @@ def cgls(apply_A, apply_At, b, x0, iters, axis_name=None):
     r0 = jax.tree_util.tree_map(lambda bi, ai: bi - ai, b, apply_A(x0))
     s0 = apply_At(r0)
     gamma0 = tree_vdot(s0, s0, axis_name)
+    # Freeze threshold: once the normal-equation residual has dropped to
+    # machine-noise relative to its start, further updates only accumulate
+    # roundoff (running a Krylov recurrence far past convergence destabilizes
+    # it) — so the iteration becomes a no-op from there on.
+    eps = jnp.finfo(x0.dtype).eps
+    floor = gamma0 * eps * eps
 
     def body(carry, _):
-        x, r, p, gamma = carry
+        x, r, p, gamma, active = carry
         q = apply_A(p)
         qq = tree_vdot(q, q, axis_name)
-        alpha = gamma / jnp.where(qq > 0, qq, 1.0)
-        alpha = jnp.where(qq > 0, alpha, 0.0)
+        ok = jnp.logical_and(active, qq > 0)
+        alpha = jnp.where(ok, gamma / jnp.where(qq > 0, qq, 1.0), 0.0)
         x = x + alpha * p
         r = jax.tree_util.tree_map(lambda ri, qi: ri - alpha * qi, r, q)
         s = apply_At(r)
         gamma_new = tree_vdot(s, s, axis_name)
-        beta = gamma_new / jnp.where(gamma > 0, gamma, 1.0)
-        beta = jnp.where(gamma > 0, beta, 0.0)
+        beta = jnp.where(ok, gamma_new / jnp.where(gamma > 0, gamma, 1.0),
+                         0.0)
         p = s + beta * p
-        return (x, r, p, gamma_new), None
+        active = jnp.logical_and(active, gamma_new > floor)
+        return (x, r, p, gamma_new, active), None
 
-    (x, _, _, _), _ = lax.scan(body, (x0, r0, s0, gamma0), None, length=iters)
+    init = (x0, r0, s0, gamma0, gamma0 > floor)
+    (x, _, _, _, _), _ = lax.scan(body, init, None, length=iters)
     return x
 
 

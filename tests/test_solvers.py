@@ -1,0 +1,366 @@
+"""Solver-level tests.
+
+Strategy (SURVEY.md §4): since the reference package itself cannot run here
+(pysitk missing), parity is checked against *oracles built from the
+reference's own dependencies* — scipy.sparse.linalg.lsmr for the inner
+quadratic solve, scipy.ndimage for operators, and small numpy
+re-implementations of the published Chambolle–Pock/ADMM updates — plus the
+reference suite's own invariance tests (x_scale invariance to 1e-7,
+tests/solvers_test.py:51).
+"""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+import scipy.optimize
+import scipy.sparse.linalg
+
+import jax.numpy as jnp
+
+from nsol_tpu.ops import grad as G
+from nsol_tpu.ops import prox as prox_ops
+from nsol_tpu.ops import kernels as K
+from nsol_tpu.ops import conv as C
+from nsol_tpu.ops import losses as lf
+from nsol_tpu.solvers.cg import cgls
+from nsol_tpu.solvers.tikhonov import tikhonov_solve
+from nsol_tpu.solvers.wrappers import (
+    TikhonovLinearSolver, ADMMLinearSolver, PrimalDualSolver,
+)
+from nsol_tpu.observer import Observer
+
+
+# --------------------------------------------------------------- oracles
+
+def _np_gradient_ops(shape, spacing=None):
+    """scipy.ndimage-based gradient pair matching the reference exactly."""
+    ndim = len(shape)
+    spacing = np.ones(ndim) if spacing is None else np.asarray(spacing)
+
+    def grad(x):
+        outs = []
+        for i in range(ndim):
+            kf = K.forward_difference_kernel(ndim - 1 - i, ndim,
+                                             spacing=spacing[i])
+            outs.append(ndi.convolve(x, kf, mode="constant"))
+        return np.stack(outs, axis=0)
+
+    def grad_adj(g):
+        out = np.zeros(shape)
+        for i in range(ndim):
+            kb = K.backward_difference_kernel(ndim - 1 - i, ndim,
+                                              spacing=spacing[i])
+            out += ndi.convolve(g[i], -kb, mode="constant")
+        return out
+
+    return grad, grad_adj
+
+
+def _reference_pd_tvl2_denoise(b, alpha, L2, iterations):
+    """Literal numpy evaluation of the reference PD ALG2 iteration for TVL2
+    denoising (nsol/primal_dual_solver.py:215-306 with
+    prox_ell2_denoising / prox_tv_conj)."""
+    shape = b.shape
+    grad, grad_adj = _np_gradient_ops(shape)
+    lmbda = 1.0 / alpha
+    tau = 1.0 / np.sqrt(L2)
+    sigma = 1.0 / (L2 * tau)
+    gamma = 0.35 * lmbda
+    x = b.copy()
+    x_mean = b.copy()
+    p = np.zeros((len(shape),) + shape)
+    for _ in range(iterations):
+        q = p + sigma * grad(x_mean)
+        p = q / np.maximum(1, np.abs(q))
+        t = x - tau * grad_adj(p)
+        tl = tau * lmbda
+        x_new = (t + tl * b) / (1.0 + tl)
+        theta = 1.0 / np.sqrt(1.0 + 2.0 * gamma * tau)
+        tau *= theta
+        sigma /= theta
+        x_mean = x_new + theta * (x_new - x)
+        x = x_new
+    return x
+
+
+# ------------------------------------------------------------- CGLS/lsmr
+
+def test_cgls_converges_to_lsmr_solution(rng):
+    """CGLS and lsmr agree on the converged augmented Tikhonov solution."""
+    shape = (24, 26)
+    n = shape[0] * shape[1]
+    cov = np.diag([1.5, 1.5]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+
+    x_true = rng.rand(*shape)
+    b = ndi.convolve(x_true, kern, mode="wrap")
+    alpha = 0.05
+
+    # scipy oracle on the augmented system (reference construction,
+    # nsol/tikhonov_linear_solver.py:226-256)
+    def A_flat(v):
+        return ndi.convolve(v.reshape(shape), kern, mode="wrap").reshape(-1)
+
+    def aug_mv(v):
+        return np.concatenate([A_flat(v), np.sqrt(alpha) * v])
+
+    def aug_rmv(u):
+        return A_flat(u[:n]) + np.sqrt(alpha) * u[n:]
+
+    Aop = scipy.sparse.linalg.LinearOperator((2 * n, n), matvec=aug_mv,
+                                             rmatvec=aug_rmv)
+    rhs = np.concatenate([b.reshape(-1), np.zeros(n)])
+    x_lsmr = scipy.sparse.linalg.lsmr(Aop, rhs, maxiter=400, atol=0,
+                                      btol=0)[0].reshape(shape)
+
+    # our CGLS on the shaped problem
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    sqrt_a = np.sqrt(alpha)
+    x_cgls = cgls(
+        lambda x: (Aj(x), sqrt_a * x),
+        lambda y: Aj_adj(y[0]) + sqrt_a * y[1],
+        (jnp.asarray(b), jnp.zeros(shape)),
+        jnp.zeros(shape), iters=400)
+    np.testing.assert_allclose(np.asarray(x_cgls), x_lsmr, atol=1e-6)
+
+
+def test_tikhonov_lsmr_path_objective_parity(rng):
+    """Fixed-budget CGLS reaches an objective at least as good as the
+    reference's 10-iteration lsmr on TK0 deconvolution."""
+    shape = (32, 32)
+    cov = np.diag([1.2, 1.2]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    x_true = rng.rand(*shape)
+    b = ndi.convolve(x_true, kern, mode="wrap") + 0.01 * rng.randn(*shape)
+    alpha = 0.02
+    n = b.size
+
+    def A_flat(v):
+        return ndi.convolve(v.reshape(shape), kern, mode="wrap").reshape(-1)
+
+    def aug_mv(v):
+        return np.concatenate([A_flat(v), np.sqrt(alpha) * v])
+
+    def aug_rmv(u):
+        return A_flat(u[:n]) + np.sqrt(alpha) * u[n:]
+
+    Aop = scipy.sparse.linalg.LinearOperator((2 * n, n), matvec=aug_mv,
+                                             rmatvec=aug_rmv)
+    rhs = np.concatenate([b.reshape(-1), np.zeros(n)])
+    x_ref = np.clip(scipy.sparse.linalg.lsmr(
+        Aop, rhs, maxiter=10, atol=0, btol=0)[0], 0, np.inf).reshape(shape)
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda z: z
+    x_ours = np.asarray(tikhonov_solve(
+        Aj, Aj_adj, ident, ident, jnp.asarray(b), 0.0, jnp.zeros(shape),
+        alpha, minimizer="lsmr", iter_max=10))
+
+    def objective(x):
+        r = ndi.convolve(x, kern, mode="wrap") - b
+        return 0.5 * np.sum(r ** 2) + 0.5 * alpha * np.sum(x ** 2)
+
+    assert objective(x_ours) <= objective(x_ref) * 1.01
+
+
+def test_tikhonov_lbfgs_path_vs_scipy(rng):
+    """Robust-loss minimizer path vs scipy L-BFGS-B on the same cost."""
+    shape = (16, 18)
+    cov = np.diag([1.0, 1.0]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    x_true = rng.rand(*shape)
+    b = ndi.convolve(x_true, kern, mode="wrap") + 0.05 * rng.randn(*shape)
+    alpha, scale = 0.05, 0.7
+
+    def cost_np(v):
+        x = v.reshape(shape)
+        r = (ndi.convolve(x, kern, mode="wrap") - b).reshape(-1)
+        c = 0.5 * np.sum(np.asarray(
+            lf.huber(jnp.asarray(r ** 2), f_scale=scale)))
+        return c + alpha * 0.5 * np.sum(x ** 2)
+
+    def grad_np(v):
+        x = v.reshape(shape)
+        r = ndi.convolve(x, kern, mode="wrap") - b
+        w = np.asarray(lf.gradient_huber(
+            jnp.asarray(r ** 2), f_scale=scale)) * r
+        g = ndi.convolve(w, kern, mode="wrap") + alpha * x
+        return g.reshape(-1)
+
+    res = scipy.optimize.minimize(
+        cost_np, np.zeros(shape[0] * shape[1]), jac=grad_np,
+        method="L-BFGS-B", bounds=[(0, np.inf)] * b.size,
+        options={"maxiter": 100})
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda z: z
+    x_ours = np.asarray(tikhonov_solve(
+        Aj, Aj_adj, ident, ident, jnp.asarray(b), 0.0, jnp.zeros(shape),
+        alpha, data_loss="huber", data_loss_scale=scale,
+        minimizer="L-BFGS-B", iter_max=100))
+
+    ours_cost = cost_np(x_ours.reshape(-1))
+    # Converged-objective parity within 1% (BASELINE.md criterion)
+    assert ours_cost <= res.fun * 1.01
+
+
+# --------------------------------------------------------- primal-dual
+
+def test_pd_tvl2_denoising_matches_reference_iterates(rng):
+    """Iterate-level parity: identical algorithm, identical operators →
+    final x equal to ~1e-8 after 20 iterations."""
+    shape = (20, 22)
+    b = rng.rand(*shape) * 5.0
+    alpha, L2, iters = 0.5, 8.0, 20
+
+    x_ref = _reference_pd_tvl2_denoise(b, alpha, L2, iters)
+
+    grad_j, grad_adj_j = G.make_gradient_operators()
+    bj = jnp.asarray(b)
+    solver = PrimalDualSolver(
+        prox_f=lambda x, tau: prox_ops.prox_ell2_denoising(x, tau, bj),
+        prox_g_conj=prox_ops.prox_tv_conj,
+        B=grad_j, B_conj=grad_adj_j, L2=L2, x0=b, alpha=alpha,
+        iterations=iters)
+    solver.run()
+    np.testing.assert_allclose(solver.get_x(), x_ref, atol=1e-8)
+
+
+@pytest.mark.parametrize("alg_type", ["ALG2", "ALG2_AHMOD", "ALG3"])
+def test_pd_x_scale_invariance(alg_type, rng):
+    """Ports the reference's only solver-level test: solving pre-scaled data
+    with x_scale=1 equals solving raw data with x_scale=max(x) to 7 decimals
+    (tests/solvers_test.py:68-96)."""
+    shape = (18, 16)
+    b = rng.rand(*shape) * 255.0
+    x_scale = b.max()
+    alpha, L2, iters = 0.7, 8.0, 15
+    grad_j, grad_adj_j = G.make_gradient_operators()
+
+    def make_solver(b_arr, scale):
+        bj = jnp.asarray(b_arr / scale)
+        return PrimalDualSolver(
+            prox_f=lambda x, tau: prox_ops.prox_ell2_denoising(x, tau, bj),
+            prox_g_conj=prox_ops.prox_tv_conj,
+            B=grad_j, B_conj=grad_adj_j, L2=L2, x0=b_arr,
+            alpha=alpha, iterations=iters, x_scale=scale,
+            alg_type=alg_type)
+
+    s1 = make_solver(b / x_scale, 1.0)
+    s1.run()
+    s2 = make_solver(b, x_scale)
+    s2.run()
+    np.testing.assert_array_almost_equal(
+        s1.get_x(), s2.get_x() / x_scale, decimal=7)
+
+
+def test_pd_observer_measures_recorded(rng):
+    shape = (12, 12)
+    b = rng.rand(*shape)
+    grad_j, grad_adj_j = G.make_gradient_operators()
+    bj = jnp.asarray(b)
+    solver = PrimalDualSolver(
+        prox_f=lambda x, tau: prox_ops.prox_ell2_denoising(x, tau, bj),
+        prox_g_conj=prox_ops.prox_tv_conj,
+        B=grad_j, B_conj=grad_adj_j, L2=8.0, x0=b, alpha=0.5, iterations=5)
+    obs = Observer()
+    obs.set_measures({
+        "Data": lambda x: 0.5 * jnp.sum((x - bj) ** 2),
+        "Reg": lambda x: jnp.sum(jnp.sqrt(jnp.sum(grad_j(x) ** 2, axis=0))),
+    })
+    solver.set_observer(obs)
+    solver.run()
+    res = obs.get_measures_results()
+    assert res["Data"].shape == (6,)  # init + 5 iterations
+    assert res["Reg"].shape == (6,)
+    assert res["Data"][0] == 0.0  # x0 == b
+    assert obs.get_computational_time() is not None
+
+
+# ---------------------------------------------------------------- ADMM
+
+def test_admm_tvl2_deconvolution_objective(rng):
+    """ADMM reduces the TV-L2 objective and beats the blurred input."""
+    shape = (24, 24)
+    cov = np.diag([1.0, 1.0]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    x_true = np.zeros(shape)
+    x_true[6:18, 6:18] = 1.0
+    b = ndi.convolve(x_true, kern, mode="wrap") + 0.02 * rng.randn(*shape)
+    alpha, rho = 0.01, 0.5
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    grad_j, grad_adj_j = G.make_gradient_operators()
+    solver = ADMMLinearSolver(
+        A=Aj, A_adj=Aj_adj, b=b, B=grad_j, B_adj=grad_adj_j,
+        x0=np.array(b), dimension=2, alpha=alpha, rho=rho,
+        iterations=20, iter_max=10)
+    solver.run()
+    x = solver.get_x()
+
+    def objective(v):
+        r = ndi.convolve(v, kern, mode="wrap") - b
+        g = np.stack([
+            ndi.convolve(v, K.forward_difference_kernel(1, 2),
+                         mode="constant"),
+            ndi.convolve(v, K.forward_difference_kernel(0, 2),
+                         mode="constant")])
+        return 0.5 * np.sum(r ** 2) + alpha * np.sum(
+            np.sqrt(np.sum(g ** 2, axis=0)))
+
+    assert objective(x) < objective(b)
+    # Reconstruction should be closer to the truth than the observation.
+    assert np.mean((x - x_true) ** 2) < np.mean((b - x_true) ** 2)
+
+
+def test_admm_x_scale_invariance(rng):
+    shape = (16, 16)
+    cov = np.diag([0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    x_true = rng.rand(*shape) * 200.0
+    b = ndi.convolve(x_true, kern, mode="wrap")
+    x_scale = b.max()
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    grad_j, grad_adj_j = G.make_gradient_operators()
+
+    def run(b_arr, scale):
+        s = ADMMLinearSolver(
+            A=Aj, A_adj=Aj_adj, b=b_arr, B=grad_j, B_adj=grad_adj_j,
+            x0=np.array(b_arr), dimension=2, alpha=0.05, rho=0.5,
+            iterations=8, iter_max=10, x_scale=scale)
+        s.run()
+        return s.get_x()
+
+    x1 = run(b / x_scale, 1.0)
+    x2 = run(b, x_scale)
+    np.testing.assert_array_almost_equal(x1, x2 / x_scale, decimal=7)
+
+
+def test_tikhonov_wrapper_scale_invariance(rng):
+    shape = (16, 16)
+    cov = np.diag([0.8, 0.8]) ** 2
+    x_true = rng.rand(*shape) * 100.0
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    b = ndi.convolve(x_true, kern, mode="wrap")
+    x_scale = b.max()
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda z: z
+
+    def run(b_arr, scale):
+        s = TikhonovLinearSolver(
+            A=Aj, A_adj=Aj_adj, b=b_arr, B=ident, B_adj=ident,
+            x0=np.zeros(shape), alpha=0.02, iter_max=15, x_scale=scale)
+        s.run()
+        return s.get_x()
+
+    x1 = run(b / x_scale, 1.0)
+    x2 = run(b, x_scale)
+    np.testing.assert_array_almost_equal(x1, x2 / x_scale, decimal=7)
