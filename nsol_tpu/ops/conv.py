@@ -36,18 +36,23 @@ def _per_axis_pads(kshape):
     return pads
 
 
-def convolve(x, kernel, mode="wrap"):
+def convolve(x, kernel, mode="wrap", prepadded_axes=()):
     """ndimage-semantics N-D convolution of ``x`` with ``kernel``.
 
     ``mode``: "wrap" (circular) or "constant" (zero padding), matching the
     two modes the reference uses (blur: wrap; derivatives: constant;
     nsol/linear_operators.py:60-68, 98-106).
+
+    ``prepadded_axes``: axes the caller already padded (used by the sharded
+    path, where the halo exchange supplies the sharded axis's boundary).
     """
     kernel = jnp.asarray(kernel, dtype=x.dtype)
     if kernel.ndim != x.ndim:
         raise ValueError("kernel ndim %d != input ndim %d"
                          % (kernel.ndim, x.ndim))
     pads = _per_axis_pads(kernel.shape)
+    pads = [((0, 0) if ax in prepadded_axes else p)
+            for ax, p in enumerate(pads)]
     pad_mode = {"wrap": "wrap", "constant": "constant"}[mode]
     xp = jnp.pad(x, pads, mode=pad_mode)
     # correlation with the flipped kernel == convolution

@@ -1,0 +1,79 @@
+"""Mesh construction helpers and sharded problem entry points.
+
+Single source of truth for device meshes (SURVEY.md §7 "Distribution").
+Two mesh axes cover the library's scale-out patterns:
+
+* ``"space"`` — spatial domain decomposition of one large volume
+  (halo-exchange stencils + psum-reduced CG; BASELINE config 5)
+* ``"batch"`` — embarrassingly parallel sweep axis (alpha grids /
+  image batches; BASELINE config 4)
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from nsol_tpu.parallel import halo
+from nsol_tpu.solvers import admm as _admm
+
+__all__ = ["make_mesh", "make_space_mesh", "sharded_tv_admm_solve"]
+
+
+def make_mesh(shape, axis_names, devices=None):
+    devices = np.asarray(devices if devices is not None
+                         else jax.devices()[: int(np.prod(shape))])
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def make_space_mesh(n=None):
+    n = n if n is not None else len(jax.devices())
+    return make_mesh((n,), ("space",))
+
+
+def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
+                          iterations=10, iter_max=10, alpha_cut=3,
+                          data_loss="linear", data_loss_scale=1.0):
+    """TV-L2/robust deconvolution of a volume sharded along array axis 0.
+
+    The full ADMM loop (outer splitting + inner CGLS) runs inside one
+    ``shard_map``: stencils halo-exchange over the ``"space"`` axis and all
+    CG inner products / TV magnitudes psum-reduce over it — the TPU-native
+    answer to BASELINE config 5 ("sharded 512³ TV-deconvolution with
+    psum-reduced CG").
+
+    ``b``/``x0`` are global (z, y, x) arrays (host or device); returns the
+    assembled global solution.
+    """
+    n_shards = mesh.shape["space"]
+    axis_name = "space"
+    if b.shape[0] % n_shards:
+        raise ValueError("leading axis %d not divisible by %d shards"
+                         % (b.shape[0], n_shards))
+
+    A, A_adj = halo.make_sharded_blur_operators(
+        cov, alpha_cut=alpha_cut, spacing=spacing, axis_name=axis_name,
+        n_shards=n_shards, dtype=b.dtype)
+    Bg, Bg_adj = halo.make_sharded_gradient_operators(
+        spacing, axis_name=axis_name, n_shards=n_shards)
+
+    def local_solve(b_loc, x0_loc, alpha_v, rho_v):
+        x, _ = _admm.admm_solve(
+            A, A_adj, Bg, Bg_adj, b_loc, 0.0, x0_loc, alpha_v, rho_v,
+            iterations=iterations, iter_max=iter_max, data_loss=data_loss,
+            data_loss_scale=data_loss_scale, minimizer="lsmr",
+            axis_name=axis_name)
+        return x
+
+    sharded = jax.jit(jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P("space"), P("space"), P(), P()),
+        out_specs=P("space")))
+
+    sh = NamedSharding(mesh, P("space"))
+    b_d = jax.device_put(jnp.asarray(b), sh)
+    x0_d = jax.device_put(jnp.asarray(x0), sh)
+    return sharded(b_d, x0_d, jnp.asarray(alpha, b_d.dtype),
+                   jnp.asarray(rho, b_d.dtype))

@@ -1,0 +1,134 @@
+"""Sharded-operator tests on the fake 8-device CPU mesh.
+
+The critical guard (SURVEY.md §4): sharded stencils must equal their
+single-device counterparts exactly, and the adjointness dot-product test
+must hold under sharding with psum-reduced inner products — this validates
+halo-exchange correctness including wrap at global edges.
+"""
+
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from nsol_tpu.ops import grad as G
+from nsol_tpu.ops import conv as C
+from nsol_tpu.ops import kernels as K
+from nsol_tpu.parallel import (
+    make_mesh, make_sharded_gradient_operators,
+    make_sharded_blur_operators, sharded_tv_admm_solve,
+)
+from nsol_tpu.solvers.cg import tree_vdot
+from nsol_tpu.solvers.admm import admm_solve
+
+N_DEV = 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV
+    return make_mesh((N_DEV,), ("space",))
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_sharded_gradient_matches_local(mesh, ndim, rng):
+    shape = (16, 24) if ndim == 2 else (16, 12, 10)
+    spacing = [1.5, 0.8, 1.1][:ndim]
+    x = rng.rand(*shape)
+
+    grad_s, _ = make_sharded_gradient_operators(
+        spacing, axis_name="space", n_shards=N_DEV)
+
+    f = jax.jit(jax.shard_map(
+        grad_s, mesh=mesh, in_specs=P("space"),
+        out_specs=P(None, "space")))
+    ours = np.asarray(f(jnp.asarray(x)))
+    ref = np.asarray(G.gradient(jnp.asarray(x), spacing))
+    np.testing.assert_array_almost_equal(ours, ref, decimal=12)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_sharded_gradient_adjoint_matches_local(mesh, ndim, rng):
+    shape = (16, 24) if ndim == 2 else (16, 12, 10)
+    spacing = [1.5, 0.8, 1.1][:ndim]
+    g = rng.rand(ndim, *shape)
+
+    _, grad_adj_s = make_sharded_gradient_operators(
+        spacing, axis_name="space", n_shards=N_DEV)
+
+    f = jax.jit(jax.shard_map(
+        grad_adj_s, mesh=mesh, in_specs=P(None, "space"),
+        out_specs=P("space")))
+    ours = np.asarray(f(jnp.asarray(g)))
+    ref = np.asarray(G.gradient_adjoint(jnp.asarray(g), spacing))
+    np.testing.assert_array_almost_equal(ours, ref, decimal=12)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_sharded_blur_matches_local_wrap(mesh, ndim, rng):
+    shape = (16, 24) if ndim == 2 else (16, 12, 10)
+    cov = np.diag([1.5, 1.0, 0.8][:ndim]) ** 2
+    x = rng.rand(*shape)
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(ndim))
+
+    A_s, _ = make_sharded_blur_operators(
+        cov, alpha_cut=3, spacing=np.ones(ndim), axis_name="space",
+        n_shards=N_DEV)
+    f = jax.jit(jax.shard_map(
+        A_s, mesh=mesh, in_specs=P("space"), out_specs=P("space")))
+    ours = np.asarray(f(jnp.asarray(x)))
+    ref = np.asarray(C.convolve(jnp.asarray(x), kern, mode="wrap"))
+    np.testing.assert_array_almost_equal(ours, ref, decimal=12)
+
+
+def test_sharded_adjointness_with_psum(mesh, rng):
+    """<Ax,y> == <x,Aᵀy> where the inner products themselves are computed
+    distributed (psum over the mesh axis)."""
+    shape = (16, 12, 10)
+    x = rng.rand(*shape)
+    y = rng.rand(3, *shape)
+    spacing = [1.5, 0.8, 1.1]
+
+    grad_s, grad_adj_s = make_sharded_gradient_operators(
+        spacing, axis_name="space", n_shards=N_DEV)
+
+    def both(x_loc, y_loc):
+        lhs = tree_vdot(grad_s(x_loc), y_loc, axis_name="space")
+        rhs = tree_vdot(x_loc, grad_adj_s(y_loc), axis_name="space")
+        return lhs, rhs
+
+    f = jax.jit(jax.shard_map(
+        both, mesh=mesh, in_specs=(P("space"), P(None, "space")),
+        out_specs=(P(), P())))
+    lhs, rhs = f(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_almost_equal(float(lhs), float(rhs), decimal=10)
+
+
+def test_sharded_tv_admm_matches_single_device(mesh, rng):
+    """End-to-end: the full sharded ADMM (halo stencils + psum-CG) equals
+    the single-device solve on the assembled volume."""
+    shape = (16, 12, 10)
+    cov = np.diag([0.8, 0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    import scipy.ndimage as ndi
+
+    x_true = rng.rand(*shape)
+    b = ndi.convolve(x_true, kern, mode="wrap")
+    alpha, rho = 0.01, 0.5
+
+    x_sharded = np.asarray(sharded_tv_admm_solve(
+        mesh, cov, b, np.array(b), alpha, rho, iterations=5, iter_max=5))
+
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="fft")
+    Bg, Bg_adj = G.make_gradient_operators()
+    x_single, _ = jax.jit(partial(
+        admm_solve, A, A_adj, Bg, Bg_adj, iterations=5, iter_max=5))(
+        jnp.asarray(b), 0.0, jnp.asarray(b), alpha, rho)
+
+    np.testing.assert_allclose(x_sharded, np.asarray(x_single),
+                               atol=1e-9)
