@@ -48,6 +48,9 @@ class Observer(object):
         self._measures = dict(measures)
         self._measures_results = None
 
+    def clear_results(self):
+        self._measures_results = None
+
     def get_measures(self):
         return dict(self._measures)
 

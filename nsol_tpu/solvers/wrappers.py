@@ -98,6 +98,44 @@ class TikhonovLinearSolver(LinearSolver):
         Bx = self._B(x)
         return 0.5 * jnp.sum(Bx * Bx)
 
+    def run_sweep(self, param_values, measures=None):
+        """Vmapped parameter sweep (TPU fast path of the study engine).
+
+        ``param_values``: dict of per-configuration value arrays (cartesian
+        product already expanded), keys ⊆ {"alpha", "data_loss_scale"}.
+        Returns ``(x_all, records)`` with x_all unscaled, records a dict
+        name -> (n_configs, 2) array (measures at x0 and the solution,
+        mirroring the reference observer's two add_x calls).
+        """
+        record_fn = _make_record_fn(measures, self._x_scale)
+        n = len(next(iter(param_values.values())))
+        alphas = jnp.asarray(param_values.get(
+            "alpha", np.full(n, self._alpha)))
+        dls = jnp.asarray(param_values.get(
+            "data_loss_scale", np.full(n, self._data_loss_scale)))
+
+        def solve_one(alpha, data_loss_scale):
+            x = _tik.tikhonov_solve(
+                self._A, self._A_adj, self._B, self._B_adj,
+                jnp.asarray(self._b), jnp.asarray(self._b_reg),
+                jnp.asarray(self._x0), alpha,
+                data_loss=self._data_loss,
+                data_loss_scale=data_loss_scale,
+                minimizer=self._minimizer, iter_max=self._iter_max,
+                bounds=self._bounds)
+            if record_fn is None:
+                return x, None
+            recs = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]),
+                record_fn(jnp.asarray(self._x0)), record_fn(x))
+            return x, recs
+
+        x_all, records = jax.jit(jax.vmap(solve_one))(alphas, dls)
+        x_np = np.asarray(x_all) * self._x_scale
+        rec_np = (None if records is None else
+                  {k: np.asarray(v) for k, v in records.items()})
+        return x_np, rec_np
+
 
 class ADMMLinearSolver(LinearSolver):
     """TV-regularized (robust) least squares via ADMM
@@ -167,6 +205,36 @@ class ADMMLinearSolver(LinearSolver):
         Bx = self._B(x)
         return jnp.sum(jnp.sqrt(jnp.sum(Bx * Bx, axis=0)))
 
+    def run_sweep(self, param_values, measures=None):
+        """Vmapped ``alpha×rho`` sweep — ONE compiled program for the whole
+        grid (the reference loops it serially with reflective setters,
+        nsol/solver_parameter_study.py:170-221)."""
+        record_fn = _make_record_fn(measures, self._x_scale)
+        n = len(next(iter(param_values.values())))
+        alphas = jnp.asarray(param_values.get(
+            "alpha", np.full(n, self._alpha)))
+        rhos = jnp.asarray(param_values.get("rho", np.full(n, self._rho)))
+        dls = jnp.asarray(param_values.get(
+            "data_loss_scale", np.full(n, self._data_loss_scale)))
+
+        def solve_one(alpha, rho, data_loss_scale):
+            return _admm.admm_solve(
+                self._A, self._A_adj, self._B, self._B_adj,
+                jnp.asarray(self._b), jnp.asarray(self._b_reg),
+                jnp.asarray(self._x0), alpha, rho,
+                iterations=self._iterations, iter_max=self._iter_max,
+                data_loss=self._data_loss,
+                data_loss_scale=data_loss_scale,
+                minimizer=self._minimizer, record_fn=record_fn)
+
+        x_all, records = jax.jit(jax.vmap(solve_one))(alphas, rhos, dls)
+        x_np = np.asarray(x_all) * self._x_scale
+        rec_np = None
+        if records is not None and "measures" in records:
+            rec_np = {k: np.asarray(v)
+                      for k, v in records["measures"].items()}
+        return x_np, rec_np
+
 
 class PrimalDualSolver(Solver):
     """Chambolle–Pock primal-dual solver
@@ -234,3 +302,26 @@ class PrimalDualSolver(Solver):
         x, records = solve(jnp.asarray(self._x0), self._alpha, self._L2)
         self._x = np.asarray(x)
         self._push_records(records)
+
+    def run_sweep(self, param_values, measures=None):
+        """Vmapped alpha sweep — the 64-alpha L-curve study runs as one
+        compiled batched program (BASELINE config 4)."""
+        record_fn = _make_record_fn(measures, self._x_scale)
+        n = len(next(iter(param_values.values())))
+        alphas = jnp.asarray(param_values.get(
+            "alpha", np.full(n, self._alpha)))
+
+        def solve_one(alpha):
+            return _pd.primal_dual_solve(
+                self._prox_f, self._prox_g_conj, self._B, self._B_conj,
+                jnp.asarray(self._x0), alpha, self._L2,
+                iterations=self._iterations, alg_type=self._alg_type,
+                record_fn=record_fn)
+
+        x_all, records = jax.jit(jax.vmap(solve_one))(alphas)
+        x_np = np.asarray(x_all) * self._x_scale
+        rec_np = None
+        if records is not None and "measures" in records:
+            rec_np = {k: np.asarray(v)
+                      for k, v in records["measures"].items()}
+        return x_np, rec_np

@@ -1,0 +1,321 @@
+"""Parameter-study engine: grid sweeps with persisted artifacts.
+
+Parity port of the reference engine (nsol/solver_parameter_study.py:29-335)
+— same file schema, header validation, append/resume semantics — with a
+TPU-native fast path: when every swept parameter is a traced scalar of the
+solver (e.g. the ``alpha×rho`` grid), the whole cartesian product executes
+as ONE vmapped jitted program instead of the reference's serial Python loop
+(nsol/solver_parameter_study.py:170-221), optionally sharded across a
+``"batch"`` mesh axis. Non-vmappable sweeps (strings like ``data_loss`` or
+``alg_type``) fall back to the reflective-setter serial loop, preserving
+the reference's ``set_<key>``/``get_<key>`` contract.
+"""
+
+import datetime
+import itertools
+import os
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nsol_tpu import timer as ph
+from nsol_tpu.study.paths import ParameterStudy
+from nsol_tpu.study.reader import ReaderParameterStudy
+from nsol_tpu.solvers import wrappers as W
+from nsol_tpu.solvers import primal_dual as _pd
+from nsol_tpu.solvers import admm as _admm
+from nsol_tpu.solvers import tikhonov as _tik
+
+__all__ = [
+    "SolverParameterStudy", "TikhonovLinearSolverParameterStudy",
+    "ADMMLinearSolverParameterStudy", "PrimalDualSolverParameterStudy",
+]
+
+
+def _is_float(s):
+    try:
+        float(s)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _timestamp():
+    return datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+
+
+class SolverParameterStudy(ParameterStudy):
+    """Abstract sweep engine; concrete subclasses pin solver type, header
+    keys, and the vmappable parameter set."""
+
+    _header_keys = []
+    _vmappable = frozenset()
+
+    def __init__(self, solver, observer, dir_output, name, parameters,
+                 reconstruction_info=None, append=False, use_vmap=True):
+        ParameterStudy.__init__(self, directory=dir_output, name=name)
+        self._solver = solver
+        self._parameters = dict(parameters)
+        self._observer = observer
+        self._reconstruction_info = dict(reconstruction_info or {})
+        self._append = append
+        self._use_vmap = use_vmap
+        self._computational_time = None
+
+    def get_parameters(self):
+        return self._parameters
+
+    def get_computational_time(self):
+        return self._computational_time
+
+    def run(self):
+        self._observer.set_name(self._name)
+        self._observer.clear_x_list()
+        self._solver.set_observer(self._observer)
+
+        prev_exists = os.path.isfile(self._get_path_to_file_parameters())
+        if not self._append or not prev_exists:
+            os.makedirs(self._directory, exist_ok=True)
+            self._create_file_parameters()
+            self._create_files_measures()
+            self._create_file_computational_time()
+            self._append = False
+        else:
+            ph.print_info("Append previous study ... ")
+            self._check_that_studies_match()
+
+        time_start = ph.start_timing()
+        self._run()
+        self._computational_time = ph.stop_timing(time_start)
+
+    # -- append validation (nsol/solver_parameter_study.py:104-149) --------
+
+    def _check_that_studies_match(self):
+        def raise_error(h1, h2, info=""):
+            raise RuntimeError(
+                "Study cannot be appended as parameter settings do not "
+                "match: %s != %s%s" % (h1, h2, info))
+
+        reader = ReaderParameterStudy(directory=self._directory,
+                                      name=self._name)
+        reader.read_study()
+        header_prev = reader.get_file_header()
+        header = self._get_fileheader()
+
+        header_list = header.split(" ")[1:-2]
+        header_prev_list = header_prev.split(" ")[1:-2]
+        for h1, h2 in zip(header_list, header_prev_list):
+            h1 = re.sub(",", "", h1)
+            h2 = re.sub(",", "", h2)
+            if h1 == h2:
+                continue
+            if "=" in h1 and "=" in h2:
+                h1_var, h1_val = h1.split("=")
+                h2_var, h2_val = h2.split("=")
+                if h1_var != h2_var:
+                    raise_error(h1, h2)
+                if _is_float(h1_val) and _is_float(h2_val):
+                    try:
+                        np.testing.assert_almost_equal(
+                            float(h1_val), float(h2_val), decimal=6)
+                        continue
+                    except AssertionError as e:
+                        raise_error(h1, h2, ". %s" % e)
+            raise_error(h1, h2)
+
+    # -- execution ---------------------------------------------------------
+
+    def _run(self):
+        combos = list(itertools.product(*self._parameters.values()))
+        keys = list(self._parameters.keys())
+
+        if self._append:
+            reader = ReaderParameterStudy(directory=self._directory,
+                                          name=self._name)
+            reader.read_study()
+            previous = len(reader.get_parameters_to_line())
+            dic_x = dict(reader.get_reconstructions())
+        else:
+            previous = 0
+            dic_x = dict(self._reconstruction_info)
+
+        vmappable = (self._use_vmap
+                     and set(keys) <= self._vmappable
+                     and len(combos) > 1)
+        if vmappable:
+            self._run_vmapped(keys, combos, previous, dic_x)
+        else:
+            self._run_serial(keys, combos, previous, dic_x)
+
+    def _run_serial(self, keys, combos, previous, dic_x):
+        for i, vals in enumerate(combos):
+            ph.print_title("%s: Iteration %d/%d"
+                           % (self._name, i + 1, len(combos)))
+            dic_parameter = {}
+            for j, key in enumerate(keys):
+                getattr(self._solver, "set_%s" % key)(vals[j])
+                dic_parameter[key] = str(
+                    getattr(self._solver, "get_%s" % key)())
+                ph.print_info(key + " = %s" % dic_parameter[key])
+
+            self._solver.run()
+            results = self._observer.compute_measures()
+            for measure, arr in results.items():
+                self._add_to_file_measures(measure,
+                                           np.asarray(arr).reshape(1, -1))
+            self._add_to_file_computational_time(
+                self._observer.get_computational_time())
+            self._add_to_file_parameters(dic_parameter)
+
+            dic_x[str(i + previous)] = np.array(self._solver.get_x(),
+                                                dtype=np.float16)
+            self._write_to_file_reconstructions(dic_x)
+
+            self._observer.clear_x_list()
+            self._observer.clear_results()
+            self._solver.set_x0(self._solver.get_x0())
+
+    def _run_vmapped(self, keys, combos, previous, dic_x):
+        ph.print_title("%s: vmapped sweep over %d configurations"
+                       % (self._name, len(combos)))
+        param_values = {
+            k: np.array([c[j] for c in combos], dtype=np.float64)
+            for j, k in enumerate(keys)}
+        measures = self._observer.get_measures()
+
+        t0 = ph.start_timing()
+        x_all, records = self._solver.run_sweep(param_values,
+                                                measures=measures)
+        elapsed = ph.stop_timing(t0)
+        per_config = elapsed / len(combos)
+
+        for i, vals in enumerate(combos):
+            dic_parameter = {k: str(v) for k, v in zip(keys, vals)}
+            for measure in measures:
+                arr = np.asarray(records[measure][i]).reshape(1, -1)
+                self._add_to_file_measures(measure, arr)
+            self._add_to_file_computational_time(per_config)
+            self._add_to_file_parameters(dic_parameter)
+            dic_x[str(i + previous)] = np.array(x_all[i], dtype=np.float16)
+        self._write_to_file_reconstructions(dic_x)
+
+    # -- file writing (schema: nsol/solver_parameter_study.py:223-325) -----
+
+    def _create_file_parameters(self):
+        header = self._get_fileheader()
+        header += "## " + "\t".join(self._parameters.keys()) + "\n"
+        with open(self._get_path_to_file_parameters(), "w") as f:
+            f.write(header)
+
+    def _create_files_measures(self):
+        for measure in self._observer.get_measures():
+            header = self._get_fileheader()
+            header += "## " + measure + " for iteration 0 to n\n"
+            with open(self._get_path_to_file_measures(measure), "w") as f:
+                f.write(header)
+
+    def _create_file_computational_time(self):
+        header = self._get_fileheader()
+        header += "## Computational time measured for n iterations\n"
+        with open(self._get_path_to_file_computational_time(), "w") as f:
+            f.write(header)
+
+    def _add_to_file_parameters(self, dic_parameters):
+        with open(self._get_path_to_file_parameters(), "a") as f:
+            f.write("\t".join(dic_parameters.values()) + "\n")
+
+    def _add_to_file_measures(self, measure, nda):
+        with open(self._get_path_to_file_measures(measure), "ab") as f:
+            np.savetxt(f, nda, fmt="%.10e")
+
+    def _add_to_file_computational_time(self, computational_time):
+        with open(self._get_path_to_file_computational_time(), "a") as f:
+            f.write(str(computational_time) + "\n")
+
+    def _write_to_file_reconstructions(self, dic):
+        np.savez_compressed(self._get_path_to_file_reconstructions(), **dic)
+        ph.print_info("File '%s' written"
+                      % self._get_path_to_file_reconstructions())
+
+    def _get_fileheader(self):
+        header = "## " + self._name
+        for key in self._header_keys:
+            if key not in self._parameters:
+                header += ", %s=%s" % (
+                    key, str(getattr(self._solver, "get_%s" % key)()))
+        header += " (%s)" % _timestamp()
+        header += "\n"
+        return header
+
+
+class TikhonovLinearSolverParameterStudy(SolverParameterStudy):
+    """Header keys per nsol/tikhonov_linear_solver_parameter_study.py:62-81."""
+
+    _header_keys = ["alpha", "minimizer", "iter_max", "x_scale",
+                    "data_loss", "data_loss_scale"]
+    _vmappable = frozenset({"alpha", "data_loss_scale"})
+
+    def __init__(self, solver, observer, dir_output, name="Tikhonov",
+                 parameters=None, reconstruction_info=None, append=False,
+                 use_vmap=True):
+        if not isinstance(solver, W.TikhonovLinearSolver):
+            raise TypeError("solver must be of type 'TikhonovLinearSolver'")
+        if parameters is None:
+            parameters = {
+                "alpha": np.arange(0.02, 0.5, 0.05),
+                "data_loss": ["linear", "arctan"],
+            }
+        SolverParameterStudy.__init__(
+            self, solver=solver, observer=observer, dir_output=dir_output,
+            name=name, parameters=parameters,
+            reconstruction_info=reconstruction_info, append=append,
+            use_vmap=use_vmap)
+
+
+class ADMMLinearSolverParameterStudy(SolverParameterStudy):
+    """Header keys per nsol/admm_linear_solver_parameter_study.py:63-85."""
+
+    _header_keys = ["alpha", "rho", "iterations", "minimizer", "iter_max",
+                    "x_scale", "data_loss", "data_loss_scale", "dimension"]
+    _vmappable = frozenset({"alpha", "rho", "data_loss_scale"})
+
+    def __init__(self, solver, observer, dir_output, name="ADMM",
+                 parameters=None, reconstruction_info=None, append=False,
+                 use_vmap=True):
+        if not isinstance(solver, W.ADMMLinearSolver):
+            raise TypeError("solver must be of type 'ADMMLinearSolver'")
+        if parameters is None:
+            parameters = {
+                "alpha": np.arange(0.01, 0.06, 0.01),
+                "rho": [0.1, 0.5, 1.0],
+            }
+        SolverParameterStudy.__init__(
+            self, solver=solver, observer=observer, dir_output=dir_output,
+            name=name, parameters=parameters,
+            reconstruction_info=reconstruction_info, append=append,
+            use_vmap=use_vmap)
+
+
+class PrimalDualSolverParameterStudy(SolverParameterStudy):
+    """Header keys per nsol/primal_dual_solver_parameter_study.py:61-78."""
+
+    _header_keys = ["alpha", "iterations", "x_scale", "L2"]
+    _vmappable = frozenset({"alpha"})
+
+    def __init__(self, solver, observer, dir_output, name="PrimalDual",
+                 parameters=None, reconstruction_info=None, append=False,
+                 use_vmap=True):
+        if not isinstance(solver, W.PrimalDualSolver):
+            raise TypeError("solver must be of type 'PrimalDualSolver'")
+        if parameters is None:
+            parameters = {
+                "alpha": np.arange(0.01, 0.05, 0.01),
+                "alg_type": ["ALG2", "ALG2_AHMOD", "ALG3"],
+            }
+        SolverParameterStudy.__init__(
+            self, solver=solver, observer=observer, dir_output=dir_output,
+            name=name, parameters=parameters,
+            reconstruction_info=reconstruction_info, append=append,
+            use_vmap=use_vmap)

@@ -1,0 +1,164 @@
+"""Parameter-study engine tests: file schema, reader round-trip,
+vmapped-vs-serial equivalence, append/resume semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nsol_tpu.ops import grad as G
+from nsol_tpu.ops import prox as prox_ops
+from nsol_tpu.observer import Observer
+from nsol_tpu.solvers.wrappers import PrimalDualSolver, ADMMLinearSolver
+from nsol_tpu.study import (
+    PrimalDualSolverParameterStudy, ADMMLinearSolverParameterStudy,
+    ReaderParameterStudy,
+)
+
+
+def _make_pd_solver(b, iterations=5):
+    grad_j, grad_adj_j = G.make_gradient_operators()
+    bj = jnp.asarray(b)
+    return PrimalDualSolver(
+        prox_f=lambda x, tau: prox_ops.prox_ell2_denoising(x, tau, bj),
+        prox_g_conj=prox_ops.prox_tv_conj,
+        B=grad_j, B_conj=grad_adj_j, L2=8.0, x0=np.array(b), alpha=0.1,
+        iterations=iterations), grad_j, bj
+
+
+def _measures(grad_j, bj):
+    return {
+        "Data": lambda x: 0.5 * jnp.sum((x - bj) ** 2),
+        "Reg": lambda x: jnp.sum(
+            jnp.sqrt(jnp.sum(grad_j(x) ** 2, axis=0))),
+    }
+
+
+def _run_study(tmp_path, rng, use_vmap, name="study", subdir=None,
+               alphas=(0.1, 0.3, 0.6)):
+    b = np.random.RandomState(7).rand(12, 14) * 10
+    solver, grad_j, bj = _make_pd_solver(b)
+    obs = Observer()
+    obs.set_measures(_measures(grad_j, bj))
+    out = str(tmp_path / (subdir or ("vmap" if use_vmap else "serial")))
+    study = PrimalDualSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out, name=name,
+        parameters={"alpha": list(alphas)},
+        reconstruction_info={"shape": np.array(b.shape)},
+        use_vmap=use_vmap)
+    study.run()
+    return out, b
+
+
+def test_study_files_written(tmp_path, rng):
+    out, b = _run_study(tmp_path, rng, use_vmap=False)
+    for suffix in ["_parameters.txt", "_measure_Data.txt",
+                   "_measure_Reg.txt", "_computational_time.txt",
+                   "_reconstructions.npz"]:
+        assert os.path.isfile(os.path.join(out, "study" + suffix)), suffix
+
+
+def test_reader_roundtrip(tmp_path, rng):
+    out, b = _run_study(tmp_path, rng, use_vmap=False)
+    reader = ReaderParameterStudy(directory=out, name="study")
+    reader.read_study()
+    assert sorted(reader.get_measures()) == ["Data", "Reg"]
+    params = reader.get_parameters()
+    np.testing.assert_allclose(params["alpha"], [0.1, 0.3, 0.6])
+    res = reader.get_results("Data")
+    assert res.shape == (3, 6)  # 3 configs × (init + 5 iterations)
+    p2l = reader.get_parameters_to_line()
+    assert len(p2l) == 3
+    recon = reader.get_reconstructions()
+    assert recon["0"].dtype == np.float16
+    assert recon["0"].shape == b.shape
+    np.testing.assert_array_equal(recon["shape"], b.shape)
+    labels = reader.get_line_to_parameter_labels()
+    assert labels[0].startswith("alpha=")
+
+
+def test_vmapped_matches_serial(tmp_path, rng):
+    out_s, _ = _run_study(tmp_path, rng, use_vmap=False, subdir="s")
+    out_v, _ = _run_study(tmp_path, rng, use_vmap=True, subdir="v")
+
+    rs = ReaderParameterStudy(directory=out_s, name="study")
+    rs.read_study()
+    rv = ReaderParameterStudy(directory=out_v, name="study")
+    rv.read_study()
+    for m in ["Data", "Reg"]:
+        np.testing.assert_allclose(rs.get_results(m), rv.get_results(m),
+                                   rtol=1e-10)
+    np.testing.assert_array_equal(
+        rs.get_reconstructions()["2"], rv.get_reconstructions()["2"])
+
+
+def test_append_resume(tmp_path, rng):
+    out, b = _run_study(tmp_path, rng, use_vmap=False, subdir="app",
+                        alphas=(0.1, 0.3))
+    # Append two more alphas to the same study
+    solver, grad_j, bj = _make_pd_solver(b)
+    # keep the same data (same b) so the study matches
+    rng2 = np.random.RandomState(0)
+    obs = Observer()
+    obs.set_measures(_measures(grad_j, bj))
+    study = PrimalDualSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out, name="study",
+        parameters={"alpha": [0.5, 0.9]}, append=True, use_vmap=False)
+    study.run()
+
+    reader = ReaderParameterStudy(directory=out, name="study")
+    reader.read_study()
+    assert reader.get_results("Data").shape[0] == 4
+    recon = reader.get_reconstructions()
+    assert "3" in recon
+    params = reader.get_parameters()
+    np.testing.assert_allclose(params["alpha"], [0.1, 0.3, 0.5, 0.9])
+
+
+def test_append_mismatched_header_raises(tmp_path, rng):
+    out, b = _run_study(tmp_path, rng, use_vmap=False, subdir="mm",
+                        alphas=(0.1, 0.3))
+    solver, grad_j, bj = _make_pd_solver(b, iterations=7)  # changed config
+    obs = Observer()
+    obs.set_measures(_measures(grad_j, bj))
+    study = PrimalDualSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out, name="study",
+        parameters={"alpha": [0.5]}, append=True, use_vmap=False)
+    with pytest.raises(RuntimeError, match="cannot be appended"):
+        study.run()
+
+
+def test_admm_study_vmapped_alpha_rho_grid(tmp_path, rng):
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.ops import conv as C
+
+    shape = (12, 12)
+    cov = np.diag([0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    b = ndi.convolve(rng.rand(*shape), kern, mode="wrap")
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    grad_j, grad_adj_j = G.make_gradient_operators()
+    solver = ADMMLinearSolver(
+        A=Aj, A_adj=Aj_adj, b=b, B=grad_j, B_adj=grad_adj_j,
+        x0=np.array(b), dimension=2, iterations=3, iter_max=5)
+    obs = Observer()
+    bj = jnp.asarray(b)
+    obs.set_measures(_measures(grad_j, bj))
+    out = str(tmp_path / "admm")
+    study = ADMMLinearSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out, name="ADMM",
+        parameters={"alpha": [0.01, 0.05], "rho": [0.1, 0.5]})
+    study.run()
+
+    reader = ReaderParameterStudy(directory=out, name="ADMM")
+    reader.read_study()
+    assert reader.get_results("Data").shape == (4, 4)  # 2×2 grid, 3 iters+1
+    lines = reader.get_lines_to_parameters(
+        {"alpha": [0.01, 0.05], "rho": 0.5})
+    assert list(lines) == [1, 3]
