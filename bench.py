@@ -47,15 +47,21 @@ def main():
                                      method="fft", dtype=dtype)
     Bg, Bg_adj = G.make_gradient_operators()
 
+    from nsol_tpu.jitutil import jit_closed
+
     b = A(jnp.asarray(x_true))
     b = jnp.asarray(np.asarray(b), dtype)  # materialize
 
-    solve = jax.jit(partial(
-        admm_solve, A, A_adj, Bg, Bg_adj,
-        iterations=ITERATIONS, iter_max=ITER_MAX, minimizer="lsmr"))
+    b_reg = jnp.zeros((3,) + shape, dtype)
+    alpha = jnp.asarray(ALPHA, dtype)
+    rho = jnp.asarray(RHO, dtype)
+    solve = jit_closed(
+        partial(admm_solve, A, A_adj, Bg, Bg_adj,
+                iterations=ITERATIONS, iter_max=ITER_MAX, minimizer="lsmr"),
+        (b, b_reg, b, alpha, rho))
 
     def run():
-        x, _ = solve(b, 0.0, b, ALPHA, RHO)
+        x, _ = solve(b, b_reg, b, alpha, rho)
         x.block_until_ready()
         return x
 

@@ -67,13 +67,16 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
             axis_name=axis_name)
         return x
 
-    sharded = jax.jit(jax.shard_map(
+    from nsol_tpu.jitutil import jit_closed
+
+    mapped = jax.shard_map(
         local_solve, mesh=mesh,
         in_specs=(P("space"), P("space"), P(), P()),
-        out_specs=P("space")))
+        out_specs=P("space"))
 
     sh = NamedSharding(mesh, P("space"))
     b_d = jax.device_put(jnp.asarray(b), sh)
     x0_d = jax.device_put(jnp.asarray(x0), sh)
-    return sharded(b_d, x0_d, jnp.asarray(alpha, b_d.dtype),
-                   jnp.asarray(rho, b_d.dtype))
+    args = (b_d, x0_d, jnp.asarray(alpha, b_d.dtype),
+            jnp.asarray(rho, b_d.dtype))
+    return jit_closed(mapped, args)(*args)

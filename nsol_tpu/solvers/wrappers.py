@@ -22,7 +22,7 @@ from nsol_tpu.solvers.base import Solver, LinearSolver
 from nsol_tpu.solvers import tikhonov as _tik
 from nsol_tpu.solvers import admm as _admm
 from nsol_tpu.solvers import primal_dual as _pd
-from nsol_tpu.ops import priors
+from nsol_tpu.jitutil import jit_closed
 
 __all__ = ["TikhonovLinearSolver", "ADMMLinearSolver", "PrimalDualSolver"]
 
@@ -72,21 +72,23 @@ class TikhonovLinearSolver(LinearSolver):
         if self._observer is not None:
             self._observer.add_x(self.get_x())
 
+        args = (jnp.asarray(self._b), jnp.asarray(self._b_reg),
+                jnp.asarray(self._x0),
+                jnp.asarray(self._alpha, self._x0.dtype),
+                jnp.asarray(self._data_loss_scale, self._x0.dtype))
         key = (self._minimizer, self._iter_max, self._data_loss,
                self._bounds, id(self._A), id(self._B))
         if key not in self._solve_cache:
-            self._solve_cache[key] = jax.jit(
-                partial(_tik.tikhonov_solve,
-                        self._A, self._A_adj, self._B, self._B_adj,
-                        data_loss=self._data_loss,
-                        minimizer=self._minimizer,
-                        iter_max=self._iter_max,
-                        bounds=self._bounds))
-        solve = self._solve_cache[key]
+            def fn(b, b_reg, x0, alpha, dls):
+                return _tik.tikhonov_solve(
+                    self._A, self._A_adj, self._B, self._B_adj,
+                    b, b_reg, x0, alpha,
+                    data_loss=self._data_loss, data_loss_scale=dls,
+                    minimizer=self._minimizer, iter_max=self._iter_max,
+                    bounds=self._bounds)
 
-        x = solve(jnp.asarray(self._b), jnp.asarray(self._b_reg),
-                  jnp.asarray(self._x0), self._alpha,
-                  data_loss_scale=self._data_loss_scale)
+            self._solve_cache[key] = jit_closed(fn, args)
+        x = self._solve_cache[key](*args)
         self._x = np.asarray(x)
 
         if self._observer is not None:
@@ -130,7 +132,8 @@ class TikhonovLinearSolver(LinearSolver):
                 record_fn(jnp.asarray(self._x0)), record_fn(x))
             return x, recs
 
-        x_all, records = jax.jit(jax.vmap(solve_one))(alphas, dls)
+        x_all, records = jit_closed(jax.vmap(solve_one),
+                                    (alphas, dls))(alphas, dls)
         x_np = np.asarray(x_all) * self._x_scale
         rec_np = (None if records is None else
                   {k: np.asarray(v) for k, v in records.items()})
@@ -177,26 +180,27 @@ class ADMMLinearSolver(LinearSolver):
         measures = self._observer_measures()
         record_fn = _make_record_fn(measures, self._x_scale)
 
+        args = (jnp.asarray(self._b), jnp.asarray(self._b_reg),
+                jnp.asarray(self._x0),
+                jnp.asarray(self._alpha, self._x0.dtype),
+                jnp.asarray(self._rho, self._x0.dtype),
+                jnp.asarray(self._data_loss_scale, self._x0.dtype))
         key = (self._minimizer, self._iter_max, self._iterations,
                self._data_loss, bool(record_fn), self._record_trajectory,
                tuple(sorted(measures)) if measures else None,
                id(self._A), id(self._B))
         if key not in self._solve_cache:
-            self._solve_cache[key] = jax.jit(
-                partial(_admm.admm_solve,
-                        self._A, self._A_adj, self._B, self._B_adj,
-                        data_loss=self._data_loss,
-                        minimizer=self._minimizer,
-                        iterations=self._iterations,
-                        iter_max=self._iter_max,
-                        record_fn=record_fn,
-                        record_trajectory=self._record_trajectory))
-        solve = self._solve_cache[key]
+            def fn(b, b_reg, x0, alpha, rho, dls):
+                return _admm.admm_solve(
+                    self._A, self._A_adj, self._B, self._B_adj,
+                    b, b_reg, x0, alpha, rho,
+                    iterations=self._iterations, iter_max=self._iter_max,
+                    data_loss=self._data_loss, data_loss_scale=dls,
+                    minimizer=self._minimizer, record_fn=record_fn,
+                    record_trajectory=self._record_trajectory)
 
-        x, records = solve(
-            jnp.asarray(self._b), jnp.asarray(self._b_reg),
-            jnp.asarray(self._x0), self._alpha, self._rho,
-            data_loss_scale=self._data_loss_scale)
+            self._solve_cache[key] = jit_closed(fn, args)
+        x, records = self._solve_cache[key](*args)
         self._x = np.asarray(x)
         self._push_records(records)
 
@@ -227,7 +231,8 @@ class ADMMLinearSolver(LinearSolver):
                 data_loss_scale=data_loss_scale,
                 minimizer=self._minimizer, record_fn=record_fn)
 
-        x_all, records = jax.jit(jax.vmap(solve_one))(alphas, rhos, dls)
+        x_all, records = jit_closed(
+            jax.vmap(solve_one), (alphas, rhos, dls))(alphas, rhos, dls)
         x_np = np.asarray(x_all) * self._x_scale
         rec_np = None
         if records is not None and "measures" in records:
@@ -284,22 +289,24 @@ class PrimalDualSolver(Solver):
         measures = self._observer_measures()
         record_fn = _make_record_fn(measures, self._x_scale)
 
+        args = (jnp.asarray(self._x0),
+                jnp.asarray(self._alpha, self._x0.dtype),
+                jnp.asarray(self._L2, self._x0.dtype))
         key = (self._alg_type, self._iterations, bool(record_fn),
                self._record_trajectory,
                tuple(sorted(measures)) if measures else None,
                id(self._B), id(self._prox_f), id(self._prox_g_conj))
         if key not in self._solve_cache:
-            self._solve_cache[key] = jax.jit(
-                partial(_pd.primal_dual_solve,
-                        self._prox_f, self._prox_g_conj,
-                        self._B, self._B_conj,
-                        iterations=self._iterations,
-                        alg_type=self._alg_type,
-                        record_fn=record_fn,
-                        record_trajectory=self._record_trajectory))
-        solve = self._solve_cache[key]
+            def fn(x0, alpha, L2):
+                return _pd.primal_dual_solve(
+                    self._prox_f, self._prox_g_conj,
+                    self._B, self._B_conj, x0, alpha, L2,
+                    iterations=self._iterations, alg_type=self._alg_type,
+                    record_fn=record_fn,
+                    record_trajectory=self._record_trajectory)
 
-        x, records = solve(jnp.asarray(self._x0), self._alpha, self._L2)
+            self._solve_cache[key] = jit_closed(fn, args)
+        x, records = self._solve_cache[key](*args)
         self._x = np.asarray(x)
         self._push_records(records)
 
@@ -318,7 +325,8 @@ class PrimalDualSolver(Solver):
                 iterations=self._iterations, alg_type=self._alg_type,
                 record_fn=record_fn)
 
-        x_all, records = jax.jit(jax.vmap(solve_one))(alphas)
+        x_all, records = jit_closed(jax.vmap(solve_one),
+                                    (alphas,))(alphas)
         x_np = np.asarray(x_all) * self._x_scale
         rec_np = None
         if records is not None and "measures" in records:
