@@ -8,4 +8,14 @@ TPU: shaped arrays, scan-based solver loops, vmapped parameter sweeps, and
 mesh-sharded volumes with halo exchange.
 """
 
-from nsol_tpu.__about__ import __version__  # noqa: F401
+import os as _os
+
+if _os.environ.get("NSOL_TPU_PLATFORM"):
+    # Select the JAX platform before any backend initializes. Setting the
+    # JAX_PLATFORMS env var is NOT equivalent in the axon environment (the
+    # TPU shim intercepts it); the config route works reliably.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["NSOL_TPU_PLATFORM"])
+
+from nsol_tpu.__about__ import __version__  # noqa: F401,E402

@@ -1,0 +1,120 @@
+"""Tier-3 end-to-end CLI smoke tests (subprocess, exit-code + artifacts).
+
+Ports the reference's strategy (tests/run_denoising_test.py etc.): run each
+CLI on the bundled 2-D and 3-D data with few iterations and assert success.
+Subprocesses pin the CPU backend via NSOL_TPU_PLATFORM.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/data"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["NSOL_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    return subprocess.run([sys.executable] + args, env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=600)
+
+
+@pytest.mark.parametrize("rtype", ["TVL1", "TVL2", "HuberL1", "HuberL2"])
+def test_run_denoising_2d(tmp_path, rtype):
+    result = str(tmp_path / ("out_%s.png" % rtype))
+    p = _run(["nsol_run_denoising.py",
+              "--observation", os.path.join(DATA, "2D_Lena_256_noise.png"),
+              "--reconstruction-type", rtype,
+              "--iterations", "5",
+              "--result", result])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(result)
+
+
+def test_run_denoising_3d_nii(tmp_path):
+    result = str(tmp_path / "out.nii.gz")
+    p = _run(["nsol_run_denoising.py",
+              "--observation",
+              os.path.join(DATA, "3D_SheppLoganPhantom_64.nii.gz"),
+              "--reconstruction-type", "TVL2",
+              "--iterations", "5",
+              "--result", result])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(result)
+
+
+@pytest.mark.parametrize("rtype", ["TK0L2", "TK1L2", "TVL2", "HuberL2"])
+def test_run_deconvolution_2d(tmp_path, rtype):
+    result = str(tmp_path / ("out_%s.png" % rtype))
+    p = _run(["nsol_run_deconvolution.py",
+              "--observation",
+              os.path.join(DATA, "2D_Lena_256_blur_noise.png"),
+              "--reconstruction-type", rtype,
+              "--iterations", "5",
+              "--iter-max", "5",
+              "--blur", "1",
+              "--result", result])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(result)
+
+
+def test_run_denoising_study_and_show(tmp_path):
+    out = str(tmp_path / "study")
+    p = _run(["nsol_run_denoising_study.py",
+              "--observation", os.path.join(DATA, "2D_Lena_256_noise.png"),
+              "--reference", os.path.join(DATA, "2D_Lena_256.png"),
+              "--reconstruction-type", "TVL2",
+              "--iterations", "5",
+              "--measures", "RMSE", "PSNR",
+              "--alpha-range", "0.01", "0.05", "2",
+              "--dir-output", out])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(os.path.join(out, "TVL2_parameters.txt"))
+
+    figs = str(tmp_path / "figs")
+    p = _run(["nsol_show_parameter_study.py",
+              "--dir-input", out,
+              "--study-name", "TVL2",
+              "--dir-output-figures", figs])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(os.path.join(figs, "TVL2_L-curve.pdf"))
+    assert os.path.isfile(os.path.join(figs, "TVL2_reconstructions.pdf"))
+
+
+def test_run_deconvolution_study(tmp_path):
+    out = str(tmp_path / "study")
+    p = _run(["nsol_run_deconvolution_study.py",
+              "--observation",
+              os.path.join(DATA, "2D_Lena_256_blur_noise.png"),
+              "--reconstruction-type", "TVL2",
+              "--iterations", "5",
+              "--iter-max", "5",
+              "--alpha-range", "0.01", "0.05", "2",
+              "--dir-output", out])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(os.path.join(out, "TVL2_measure_Data.txt"))
+
+
+def test_corrupt_data_roundtrip(tmp_path):
+    result = str(tmp_path / "corrupted.png")
+    p = _run(["nsol_corrupt_data.py",
+              "--filename", os.path.join(DATA, "2D_Lena_256.png"),
+              "--result", result,
+              "--noise", "gaussian",
+              "--noise-level", "0.05",
+              "--blur", "1"])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(result)
+    from PIL import Image
+
+    orig = np.asarray(Image.open(
+        os.path.join(DATA, "2D_Lena_256.png")).convert("L"), dtype=float)
+    corr = np.asarray(Image.open(result), dtype=float)
+    assert corr.shape == orig.shape
+    assert np.mean((corr - orig) ** 2) > 1.0  # actually corrupted
