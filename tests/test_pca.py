@@ -61,14 +61,53 @@ def test_alm_rpca_decomposition():
     np.testing.assert_allclose(L + S, D, atol=0.1)
 
 
-def test_admm_rpca_runs_and_decomposes():
+def test_admm_rpca_matches_reference_algorithm():
+    """Literal numpy re-evaluation of the reference's 3-way ADMM
+    (nsol/principal_component_analysis.py:294-426) as oracle: iterates must
+    match to machine precision."""
+    from numpy.linalg import norm, svd
+
+    def prox_l1(v, l):
+        return np.maximum(0, v - l) - np.maximum(0, -v - l)
+
+    def prox_matrix(v, l):
+        U, S, Vt = svd(v, full_matrices=False)
+        return U @ np.diag(prox_l1(S, l)) @ Vt
+
     L_true, S_true = _low_rank_plus_sparse()
-    D = L_true + S_true
-    h = AdmmRobustPrincipalComponentAnalysis(D).run()
-    assert "X3_admm" in h and "X1_admm" in h
-    X3 = h["X3_admm"]
-    # X3 is the low-rank component: effective rank well below full rank
-    sv = np.linalg.svd(X3, compute_uv=False)
-    eff_rank = int(np.sum(sv > 0.01 * sv[0]))
-    assert eff_rank <= 15
-    assert h["objval"][h["admm_iter"]] <= h["objval"][0]
+    A = L_true + S_true
+    m, n = A.shape
+    N = 3
+    g2 = 0.15 * norm(A.T, np.inf)
+    g3 = 0.15 * norm(A, 2)
+    lam, rho = 1.0, 1.0
+    X1 = np.zeros((m, n))
+    X2 = np.zeros((m, n))
+    X3 = np.zeros((m, n))
+    z = np.zeros((m, N * n))
+    U = np.zeros((m, n))
+    for k in range(100):
+        B = (X1 + X2 + X3) / N - A / N + U
+        X1 = (1 / (1 + lam)) * (X1 - B)
+        X2 = prox_l1(X2 - B, lam * g2)
+        X3 = prox_matrix(X3 - B, lam * g3)
+        x = np.hstack([X1, X2, X3])
+        zold = z
+        z = x + np.tile(-(X1 + X2 + X3) / N + A / N, (1, N))
+        r = norm(x - z, "fro")
+        s = norm(-rho * (z - zold), "fro")
+        ep = np.sqrt(m * n * N) * 1e-4 + 1e-2 * max(norm(x, "fro"),
+                                                    norm(z, "fro"))
+        ed = np.sqrt(m * n * N) * 1e-4 + 1e-2 * np.sqrt(N) * norm(rho * B,
+                                                                  "fro")
+        U = B
+        if r < ep and s < ed:
+            break
+
+    h = AdmmRobustPrincipalComponentAnalysis(A).run()
+    assert h["admm_iter"] == k
+    np.testing.assert_allclose(h["X3_admm"], X3, atol=1e-10)
+    np.testing.assert_allclose(h["X1_admm"], X1, atol=1e-10)
+    # consensus: decomposition sums back to the data
+    rel = norm(h["X1_admm"] + h["X2_admm"] + h["X3_admm"] - A) / norm(A)
+    assert rel < 0.05
