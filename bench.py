@@ -29,6 +29,17 @@ SIGMA = 1.0
 
 def main():
     import jax
+
+    # Persistent compilation cache: the axon AOT compile of the full solver
+    # program is expensive (~340 s measured); cache it across bench runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from nsol_tpu.io import read_nifti
@@ -37,49 +48,62 @@ def main():
     from nsol_tpu.ops import kernels as K
     from nsol_tpu.solvers.admm import admm_solve
 
+    from nsol_tpu.jitutil import jit_closed
+
     img = read_nifti("/root/reference/data/3D_SheppLoganPhantom_64.nii.gz")
     dtype = np.float32
     x_true = img.data.astype(dtype)
     shape = x_true.shape
 
     cov = np.diag([SIGMA ** 2] * 3)
+    # Fastest configuration (measured, BASELINE.md): separable roll-conv
+    # blur + CG on the fused normal equations (self-correlated blur kernel
+    # and one-pass DᵀD Laplacian).
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
-                                     method="fft", dtype=dtype)
+                                     method="auto", dtype=dtype)
+    nA = C.make_normal_blur_operator(cov, alpha_cut=3, dtype=dtype)
     Bg, Bg_adj = G.make_gradient_operators()
 
-    from nsol_tpu.jitutil import jit_closed
-
-    b = A(jnp.asarray(x_true))
-    b = jnp.asarray(np.asarray(b), dtype)  # materialize
+    xj = jnp.asarray(x_true)
+    b = jit_closed(A, (xj,))(xj)
+    b.block_until_ready()
 
     b_reg = jnp.zeros((3,) + shape, dtype)
     alpha = jnp.asarray(ALPHA, dtype)
     rho = jnp.asarray(RHO, dtype)
     solve = jit_closed(
         partial(admm_solve, A, A_adj, Bg, Bg_adj,
-                iterations=ITERATIONS, iter_max=ITER_MAX, minimizer="lsmr"),
+                iterations=ITERATIONS, iter_max=ITER_MAX, minimizer="cg",
+                normal_A=nA, normal_B=G.gradient_normal),
         (b, b_reg, b, alpha, rho))
 
-    def run():
-        x, _ = solve(b, b_reg, b, alpha, rho)
-        x.block_until_ready()
-        return x
+    # NOTE on timing under the axon tunnel: ``block_until_ready`` does NOT
+    # synchronize (returns immediately) and compilation happens lazily at
+    # the first value fetch. Honest methodology: warm up with a real
+    # ``np.asarray`` fetch, then CHAIN executions (each solve's output feeds
+    # the next solve's input, forcing ordered real execution) and fetch only
+    # the final result; per-solve time = total / n_chained.
+    x, _ = solve(b, b_reg, b, alpha, rho)
+    np.asarray(x)  # forces compile + first execution
 
-    x = run()  # compile + warmup
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        x = run()
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
+    n_chain = 10
+    t0 = time.perf_counter()
+    xi = b
+    for _ in range(n_chain):
+        xi, _ = solve(xi, b_reg, xi, alpha, rho)
+    np.asarray(xi)
+    elapsed = (time.perf_counter() - t0) / n_chain
     iters_per_sec = ITERATIONS / elapsed
+    x, _ = solve(b, b_reg, b, alpha, rho)
 
     # converged objective for the parity record (stderr, not the JSON line)
-    r = np.asarray(A(x)) - np.asarray(b)
-    g = np.asarray(Bg(x))
-    objective = float(0.5 * np.sum(r.astype(np.float64) ** 2)
-                      + ALPHA * np.sum(np.sqrt(
-                          np.sum(g.astype(np.float64) ** 2, axis=0))))
+    def _objective(x, b):
+        r = A(x) - b
+        g = Bg(x)
+        return (0.5 * jnp.sum(r * r)
+                + ALPHA * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0))))
+
+    objective = float(jit_closed(_objective, (x, b))(x, b))
     print("objective=%.2f (reference-equivalent CPU: %.2f), elapsed=%.3fs"
           % (objective, BASELINE_OBJECTIVE, elapsed), file=sys.stderr)
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 __all__ = [
     "forward_difference", "forward_difference_adjoint",
     "gradient", "gradient_adjoint", "make_gradient_operators",
+    "gradient_normal",
 ]
 
 
@@ -101,6 +102,37 @@ def gradient_adjoint(g, spacing=None):
             forward_difference_adjoint(g[i], ndim - 1 - i)
             / s[i].astype(g.dtype)
         )
+    return out
+
+
+def gradient_normal(x, spacing=None):
+    """Fused ``DᵀD x = Σ_ax Dᵀ_ax D_ax x`` in one pass per axis.
+
+    Algebraically identical to ``gradient_adjoint(gradient(x))`` but
+    evaluated as the direct second-difference stencil — per axis
+    ``(2x[i] − x[i−1] − x[i+1]) / h²`` with the zero-boundary corrections
+    implied by the forward-difference pair (first entry ``x[0]−x[1]``,
+    last entry ``2x[n−1]−x[n−2]``). Halves the operator passes of the
+    normal-equation CG (see nsol_tpu/solvers/tikhonov.py).
+    """
+    ndim = x.ndim
+    s = _spacing_array(spacing, ndim)
+    out = None
+    for i in range(ndim):
+        axis = ndim - 1 - i
+        up = jnp.concatenate(
+            [jax_slice(x, axis, 1, None),
+             jnp.zeros_like(jax_slice(x, axis, 0, 1))], axis=axis)
+        down = jnp.concatenate(
+            [jnp.zeros_like(jax_slice(x, axis, 0, 1)),
+             jax_slice(x, axis, 0, -1)], axis=axis)
+        t = 2.0 * x - up - down
+        # boundary correction at i=0: want x[0] − x[1], formula gives
+        # 2x[0] − x[1] (down pad is 0) → subtract x at the first slab.
+        first = jax_slice(t, axis, 0, 1) - jax_slice(x, axis, 0, 1)
+        t = jnp.concatenate([first, jax_slice(t, axis, 1, None)], axis=axis)
+        t = t / (s[i] ** 2).astype(x.dtype)
+        out = t if out is None else out + t
     return out
 
 

@@ -34,7 +34,8 @@ def admm_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha, rho,
                iterations=10, iter_max=10, data_loss="linear",
                data_loss_scale=1.0, minimizer="lsmr",
                inner_bounds=(0.0, np.inf), record_fn=None,
-               record_trajectory=False, axis_name=None):
+               record_trajectory=False, axis_name=None,
+               normal_A=None, normal_B=None):
     """Run ``iterations`` ADMM steps from ``x0``. Pure; callers jit.
 
     ``alpha`` (TV weight) and ``rho`` (augmented-Lagrangian weight) may be
@@ -54,13 +55,18 @@ def admm_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha, rho,
     v0 = Bx0 - b_reg
     w0 = jnp.zeros_like(v0)
 
+    # Aᵀb is loop-invariant — precompute once outside the scan for the
+    # normal-equation inner solver.
+    At_b = A_adj(b) if minimizer == "cg" else None
+
     def step(carry, _):
         x, v, w = carry
         x = tikhonov_solve(
             A, A_adj, B, B_adj, b, b_reg=v - w + b_reg, x0=x, alpha=rho,
             data_loss=data_loss, data_loss_scale=data_loss_scale,
             minimizer=minimizer, iter_max=iter_max, bounds=inner_bounds,
-            axis_name=axis_name)
+            axis_name=axis_name, normal_A=normal_A, normal_B=normal_B,
+            At_b=At_b)
         t = B(x) + w - b_reg
         v = vectorial_soft_threshold(t, alpha / rho)
         w = t - v

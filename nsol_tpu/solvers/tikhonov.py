@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from nsol_tpu.ops import losses as lf
-from nsol_tpu.solvers.cg import cgls
+from nsol_tpu.solvers.cg import cgls, cg
 from nsol_tpu.solvers.lbfgs import lbfgs_box
 
 __all__ = ["tikhonov_solve", "prox_linear_least_squares"]
@@ -61,14 +61,24 @@ def _power_iteration_L(apply_M, shape, dtype, iters=20):
 def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
                    data_loss="linear", data_loss_scale=1.0,
                    minimizer="lsmr", iter_max=10,
-                   bounds=(0.0, np.inf), axis_name=None):
+                   bounds=(0.0, np.inf), axis_name=None,
+                   normal_A=None, normal_B=None, At_b=None):
     """Return the minimizer estimate. Pure function; callers jit.
 
     ``A/A_adj`` map the solution space to data space; ``B/B_adj`` to the
     regularizer space (identity, gradient, ...). ``alpha`` and ``b_reg`` may
     be traced values (the ADMM inner solve relies on this).
+
+    ``minimizer="cg"`` runs CG directly on the normal equations
+    ``(AᵀA + α BᵀB) x = Aᵀb + α Bᵀ b_reg`` — half the operator passes per
+    iteration of the augmented CGLS. Pass ``normal_A``/``normal_B`` for
+    fused normal operators (e.g. the self-correlated separable blur of
+    :func:`nsol_tpu.ops.conv.make_normal_blur_operator` and the fused
+    Laplacian :func:`nsol_tpu.ops.grad.gradient_normal`); they default to
+    the adjoint-forward composition. ``At_b`` optionally supplies a
+    precomputed ``Aᵀb`` (loop-invariant across ADMM iterations).
     """
-    if minimizer in ("lsmr", "lsq_linear") and data_loss != "linear":
+    if minimizer in ("lsmr", "lsq_linear", "cg") and data_loss != "linear":
         raise ValueError(
             "%s minimizer cannot be used with non-linear data loss"
             % minimizer)
@@ -78,6 +88,19 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
     sqrt_alpha = jnp.sqrt(jnp.asarray(alpha, dtype))
     Bx0 = B(x0)
     b_reg = jnp.broadcast_to(jnp.asarray(b_reg, dtype), Bx0.shape)
+
+    if minimizer == "cg":
+        alpha_t = jnp.asarray(alpha, dtype)
+        nA = normal_A if normal_A is not None else (lambda v: A_adj(A(v)))
+        nB = normal_B if normal_B is not None else (lambda v: B_adj(B(v)))
+
+        def apply_M(v):
+            return nA(v) + alpha_t * nB(v)
+
+        rhs = (At_b if At_b is not None else A_adj(b)) \
+            + alpha_t * B_adj(b_reg)
+        x = cg(apply_M, rhs, x0, iters=iter_max, axis_name=axis_name)
+        return _clip_bounds(x, bounds)
 
     if minimizer == "lsmr":
         # Augmented CGLS; alpha == 0 degrades gracefully to plain CGLS on A

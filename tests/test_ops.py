@@ -106,7 +106,28 @@ def test_fft_blur_matches_ndimage_wrap(ndim, rng):
 # ------------------------------------------------------------ adjointness
 
 @pytest.mark.parametrize("ndim", [1, 2, 3])
-@pytest.mark.parametrize("method", ["fft", "direct"])
+def test_separable_blur_matches_ndimage_wrap(ndim, rng):
+    x = rng.rand(*SHAPES[ndim])
+    cov = np.diag([1.5, 1.0, 0.8][:ndim]) ** 2
+    spacing = np.asarray(SPACINGS[ndim])
+    k = K.gaussian_kernel(cov if ndim > 1 else cov[0, 0], alpha_cut=3,
+                          spacing=spacing)
+    A, A_adj = C.make_blur_operators(
+        cov if ndim > 1 else cov[0, 0], alpha_cut=3, spacing=spacing,
+        method="separable")
+    ours = np.asarray(A(jnp.asarray(x)))
+    ref = ndi.convolve(x, k, mode="wrap")
+    np.testing.assert_array_almost_equal(ours, ref, decimal=DECIMALS)
+
+
+def test_separable_factors_rejects_full_covariance():
+    cov = np.array([[2.0, 0.8], [0.8, 1.5]])
+    k = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    assert C.separable_factors(k) is None
+
+
+@pytest.mark.parametrize("ndim", [1, 2, 3])
+@pytest.mark.parametrize("method", ["fft", "direct", "separable"])
 def test_blur_adjointness(ndim, method, rng):
     """|<Ax,y> - <x,Aᵀy>| ≈ 0 to 10 decimals
     (ports tests/kernels_test.py:138-170)."""
