@@ -1,0 +1,169 @@
+"""Full benchmark suite over the BASELINE.md configurations.
+
+Covers configs 1, 2, 4 (the north-star config 3 lives in bench.py; the
+sharded config 5 is exercised by ``dryrun_multichip`` and
+tests/test_sharding.py since only one physical chip is available here):
+
+1. 2D Lena 256 TV-L2 denoising, Chambolle–Pock, 50 iters
+2. 2D Lena 256 robust L2-deconvolution (Gaussian blur, huber loss), ADMM
+   with box-L-BFGS inner solves
+4. Batched 64-alpha L-curve sweep, vmapped over 2D Man 1024 TV-L2 denoising
+
+Timing methodology per BASELINE.md: chained executions with one final value
+fetch (the axon tunnel's block_until_ready does not synchronize).
+Prints one JSON line per config.
+"""
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+import sys
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import jax.numpy as jnp  # noqa: E402
+
+from nsol_tpu.io import DataReader  # noqa: E402
+from nsol_tpu.jitutil import jit_closed  # noqa: E402
+from nsol_tpu.ops import conv as C  # noqa: E402
+from nsol_tpu.ops import grad as G  # noqa: E402
+from nsol_tpu.ops import prox as prox_ops  # noqa: E402
+from nsol_tpu.solvers import primal_dual as _pd  # noqa: E402
+from nsol_tpu.solvers import admm as _admm  # noqa: E402
+
+DATA = "/root/reference/data"
+DTYPE = np.float32
+
+
+def _read(name):
+    r = DataReader(DATA + "/" + name)
+    r.read_data()
+    return r.get_data().astype(DTYPE)
+
+
+def _chain_time(fn, x0, n=10):
+    xi = x0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        xi = fn(xi)
+    np.asarray(xi)
+    return (time.perf_counter() - t0) / n
+
+
+def config1_lena_pd_denoise():
+    """2D Lena 256 TV-L2 denoising, PD ALG2, 50 iterations."""
+    noisy = _read("2D_Lena_256_noise.png")
+    x_scale = float(noisy.max())
+    b = jnp.asarray(noisy / x_scale)
+    grad_op, grad_adj = G.make_gradient_operators()
+
+    def solve(x0):
+        def prox_f(x, tau):
+            return prox_ops.prox_ell2_denoising(x, tau, b)
+
+        x, _ = _pd.primal_dual_solve(
+            prox_f, prox_ops.prox_tv_conj, grad_op, grad_adj,
+            x0, jnp.asarray(0.6, DTYPE), jnp.asarray(8.0, DTYPE),
+            iterations=50)
+        return x
+
+    f = jit_closed(solve, (b,))
+    np.asarray(f(b))
+    per = _chain_time(f, b)
+    return {"config": "lena256_tvl2_pd_50it",
+            "iters_per_sec": round(50 / per, 1),
+            "ms_per_solve": round(per * 1e3, 3)}
+
+
+def config2_lena_robust_deconv():
+    """2D Lena 256 robust (huber) L2-deconvolution, ADMM with box-L-BFGS
+    inner solves (the robust-loss minimizer path)."""
+    blurred = _read("2D_Lena_256_blur_noise.png")
+    x_scale = float(blurred.max())
+    b = jnp.asarray(blurred / x_scale)
+    cov = np.diag([1.0, 1.0])
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, method="separable",
+                                     dtype=DTYPE)
+    Bg, Bg_adj = G.make_gradient_operators()
+    br = jnp.zeros((2,) + blurred.shape, DTYPE)
+
+    def solve(x0):
+        x, _ = _admm.admm_solve(
+            A, A_adj, Bg, Bg_adj, b, br, x0,
+            jnp.asarray(0.01, DTYPE), jnp.asarray(0.5, DTYPE),
+            iterations=10, iter_max=10, data_loss="huber",
+            data_loss_scale=1.0, minimizer="L-BFGS-B")
+        return x
+
+    f = jit_closed(solve, (b,))
+    np.asarray(f(b))
+    per = _chain_time(f, b, n=5)
+    return {"config": "lena256_huber_admm_lbfgs_10it",
+            "iters_per_sec": round(10 / per, 1),
+            "ms_per_solve": round(per * 1e3, 3)}
+
+
+def config4_man1024_alpha_sweep():
+    """64-alpha vmapped L-curve sweep over Man 1024 TV-L2 denoising."""
+    man = _read("2D_Man_1024.png")
+    x_scale = float(man.max())
+    b = jnp.asarray(man / x_scale)
+    grad_op, grad_adj = G.make_gradient_operators()
+    alphas = jnp.linspace(0.01, 1.5, 64, dtype=DTYPE)
+
+    def solve_one(alpha, x0):
+        def prox_f(x, tau):
+            return prox_ops.prox_ell2_denoising(x, tau, b)
+
+        def record(x):
+            g = grad_op(x)
+            return {"Reg": jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0))),
+                    "Data": jnp.sum((x - b) ** 2)}
+
+        x, recs = _pd.primal_dual_solve(
+            prox_f, prox_ops.prox_tv_conj, grad_op, grad_adj,
+            x0, alpha, jnp.asarray(8.0, DTYPE), iterations=50,
+            record_fn=record)
+        return x, recs
+
+    def sweep(x0):
+        return jax.vmap(solve_one, in_axes=(0, None))(alphas, x0)
+
+    f = jit_closed(sweep, (b,))
+    x_all, recs = f(b)
+    np.asarray(x_all[0])
+    n = 3
+    t0 = time.perf_counter()
+    xi = b
+    for _ in range(n):
+        x_all, recs = f(xi)
+        xi = x_all[0]
+    np.asarray(xi)
+    per = (time.perf_counter() - t0) / n
+    total_solves = 64
+    return {"config": "man1024_tvl2_64alpha_lcurve_vmap",
+            "solves_per_sec": round(total_solves / per, 2),
+            "s_per_sweep": round(per, 3),
+            "iters_per_sec": round(total_solves * 50 / per, 1)}
+
+
+def main():
+    for fn in (config1_lena_pd_denoise, config2_lena_robust_deconv,
+               config4_man1024_alpha_sweep):
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # keep the suite going
+            print(json.dumps({"config": fn.__name__, "error": str(e)}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
