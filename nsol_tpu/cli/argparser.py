@@ -165,9 +165,10 @@ class InputArgparser(object):
     def add_minimizer(self, default="lsmr"):
         self._add("--minimizer", type=str, default=default,
                   help="Minimizer for the inner quadratic problem: 'lsmr' "
-                       "(CGLS on TPU), 'lsq_linear', 'least_squares', or a "
-                       "quasi-Newton name like 'L-BFGS-B' (required for "
-                       "non-linear data losses).")
+                       "(CGLS on TPU), 'cg' (CG on fused normal equations "
+                       "— fastest for linear loss), 'lsq_linear', "
+                       "'least_squares', or a quasi-Newton name like "
+                       "'L-BFGS-B' (required for non-linear data losses).")
 
     def add_rho(self, default=0.5):
         self._add("--rho", type=float, default=default,

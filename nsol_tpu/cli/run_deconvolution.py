@@ -80,8 +80,14 @@ def main():
         spacing = np.array(data_reader.get_image_nifti().get_spacing())
 
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, spacing=spacing,
-                                     shape=observed_nda.shape, method="fft")
+                                     shape=observed_nda.shape, method="auto")
     grad_op, grad_adj = G.make_gradient_operators(spacing)
+    # Fused normal operators for the minimizer="cg" fast path
+    normal_A = normal_B = None
+    if args.minimizer == "cg":
+        normal_A = C.make_normal_blur_operator(
+            cov, alpha_cut=3, spacing=spacing, shape=observed_nda.shape)
+        normal_B = lambda x: G.gradient_normal(x, spacing)
 
     solver_interface = DeconvolutionSolverStudyInterface(
         A=A, A_adj=A_adj, D=grad_op, D_adj=grad_adj, b=b, x0=x0,
@@ -90,7 +96,8 @@ def main():
         iterations=args.iterations, minimizer=args.minimizer,
         measures=args.measures, dimension=dimension,
         reconstruction_type=args.reconstruction_type, rho=args.rho,
-        x_ref=x_ref, tv_solver=args.solver, verbose=args.verbose)
+        x_ref=x_ref, tv_solver=args.solver, verbose=args.verbose,
+        normal_A=normal_A, normal_B=normal_B)
     solver_interface.set_up_solver()
     solver_interface.set_up_measures()
     solver = solver_interface.get_solver()

@@ -72,8 +72,14 @@ def main():
         spacing = np.array(data_reader.get_image_nifti().get_spacing())
 
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, spacing=spacing,
-                                     shape=observed_nda.shape, method="fft")
+                                     shape=observed_nda.shape, method="auto")
     grad_op, grad_adj = G.make_gradient_operators(spacing)
+    # Fused normal operators for the minimizer="cg" fast path
+    normal_A = normal_B = None
+    if args.minimizer == "cg":
+        normal_A = C.make_normal_blur_operator(
+            cov, alpha_cut=3, spacing=spacing, shape=observed_nda.shape)
+        normal_B = lambda x: G.gradient_normal(x, spacing)
 
     name = (args.study_name if args.study_name is not None
             else args.reconstruction_type)
@@ -88,7 +94,8 @@ def main():
         reconstruction_type=args.reconstruction_type, rho=args.rho,
         dir_output=args.dir_output, parameters=parameters, name=name,
         reconstruction_info={"shape": np.array(observed_nda.shape)},
-        x_ref=x_ref, tv_solver=args.solver, verbose=args.verbose)
+        x_ref=x_ref, tv_solver=args.solver, verbose=args.verbose,
+        normal_A=normal_A, normal_B=normal_B)
     interface.set_up_parameter_study()
     parameter_study = interface.get_parameter_study()
     parameter_study.run()

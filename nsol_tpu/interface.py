@@ -47,9 +47,14 @@ class DeconvolutionSolverStudyInterface(object):
                  iter_max, iterations, minimizer, measures,
                  reconstruction_type, dimension, L2=8, rho=0.5,
                  x_ref=None, x_ref_mask=None, data_loss="linear",
-                 data_loss_scale=1, tv_solver="PD", verbose=0, append=0):
+                 data_loss_scale=1, tv_solver="PD", verbose=0, append=0,
+                 normal_A=None, normal_B=None):
         self._A = A
         self._A_adj = A_adj
+        # Fused normal operators (A^T A, B^T B) enabling the
+        # minimizer="cg" fast path of the inner quadratic solver
+        self._normal_A = normal_A
+        self._normal_B = normal_B
         self._D = D
         self._D_adj = D_adj
         self._b = b
@@ -140,7 +145,8 @@ class DeconvolutionSolverStudyInterface(object):
             x_scale=self._x_scale, data_loss=self._data_loss,
             data_loss_scale=self._data_loss_scale,
             iter_max=self._iter_max, minimizer=self._minimizer,
-            verbose=self._verbose)
+            verbose=self._verbose, normal_A=self._normal_A,
+            normal_B=ident)
 
     def _set_up_solver_TK1L2(self):
         return TikhonovLinearSolver(
@@ -149,7 +155,8 @@ class DeconvolutionSolverStudyInterface(object):
             x_scale=self._x_scale, data_loss=self._data_loss,
             data_loss_scale=self._data_loss_scale,
             iter_max=self._iter_max, minimizer=self._minimizer,
-            verbose=self._verbose)
+            verbose=self._verbose, normal_A=self._normal_A,
+            normal_B=self._normal_B)
 
     def _make_prox_lls(self):
         """prox of f(x)=½‖Ax−b‖² in scaled variables via inner CGLS
@@ -161,12 +168,13 @@ class DeconvolutionSolverStudyInterface(object):
         data_loss = self._data_loss
         data_loss_scale = self._data_loss_scale
         minimizer = self._minimizer
+        normal_A = self._normal_A
 
         def prox_f(x, tau):
             return _tik.prox_linear_least_squares(
                 x, tau, A, A_adj, b_scaled, x0=x, iter_max=iter_max,
                 data_loss=data_loss, data_loss_scale=data_loss_scale,
-                minimizer=minimizer)
+                minimizer=minimizer, normal_A=normal_A)
 
         return prox_f
 
@@ -187,7 +195,9 @@ class DeconvolutionSolverStudyInterface(object):
                 data_loss=self._data_loss,
                 data_loss_scale=self._data_loss_scale, rho=self._rho,
                 iterations=self._iterations, dimension=self._dimension,
-                iter_max=self._iter_max, verbose=self._verbose)
+                iter_max=self._iter_max, minimizer=self._minimizer,
+                verbose=self._verbose, normal_A=self._normal_A,
+                normal_B=self._normal_B)
         raise ValueError("tv_solver must be 'PD' or 'ADMM'")
 
     def _set_up_solver_HuberL2(self):
@@ -243,7 +253,8 @@ class DeconvolutionParameterStudyInterface(DeconvolutionSolverStudyInterface):
                  reconstruction_type, dir_output, parameters, name,
                  reconstruction_info, L2=8, rho=0.5, x_ref=None,
                  x_ref_mask=None, data_loss="linear", data_loss_scale=1,
-                 tv_solver="PD", verbose=0, append=False, use_vmap=True):
+                 tv_solver="PD", verbose=0, append=False, use_vmap=True,
+                 normal_A=None, normal_B=None):
         DeconvolutionSolverStudyInterface.__init__(
             self, A=A, A_adj=A_adj, D=D, D_adj=D_adj, b=b, x0=x0,
             alpha=alpha, data_loss=data_loss,
@@ -252,7 +263,7 @@ class DeconvolutionParameterStudyInterface(DeconvolutionSolverStudyInterface):
             measures=measures, reconstruction_type=reconstruction_type,
             L2=L2, rho=rho, x_ref=x_ref, x_ref_mask=x_ref_mask,
             dimension=dimension, tv_solver=tv_solver, verbose=verbose,
-            append=append)
+            append=append, normal_A=normal_A, normal_B=normal_B)
         self._name = name
         self._parameters = parameters
         self._reconstruction_info = reconstruction_info

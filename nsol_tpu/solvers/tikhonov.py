@@ -171,7 +171,8 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
 def prox_linear_least_squares(x, tau, A, A_adj, b, x0,
                               iter_max=10, data_loss="linear",
                               data_loss_scale=1.0, minimizer="lsmr",
-                              bounds=(0.0, np.inf), axis_name=None):
+                              bounds=(0.0, np.inf), axis_name=None,
+                              normal_A=None):
     """Approximate prox of ``f(x)=½‖Ax−b‖²``: inner Tikhonov solve with
     ``B=I, b_reg=x, alpha=1/τ`` (reference: nsol/proximal_operators.py:43-78).
     """
@@ -180,4 +181,4 @@ def prox_linear_least_squares(x, tau, A, A_adj, b, x0,
         A, A_adj, ident, ident, b, b_reg=x, x0=x0, alpha=1.0 / tau,
         data_loss=data_loss, data_loss_scale=data_loss_scale,
         minimizer=minimizer, iter_max=iter_max, bounds=bounds,
-        axis_name=axis_name)
+        axis_name=axis_name, normal_A=normal_A, normal_B=ident)

@@ -47,7 +47,8 @@ class TikhonovLinearSolver(LinearSolver):
 
     def __init__(self, A, A_adj, b, B, B_adj, x0, alpha=0.01, b_reg=0,
                  data_loss="linear", data_loss_scale=1, minimizer="lsmr",
-                 iter_max=10, x_scale=1, verbose=0, bounds=(0, np.inf)):
+                 iter_max=10, x_scale=1, verbose=0, bounds=(0, np.inf),
+                 normal_A=None, normal_B=None):
         LinearSolver.__init__(
             self, A=A, A_adj=A_adj, b=b, x0=x0, alpha=alpha,
             x_scale=x_scale, data_loss=data_loss,
@@ -57,6 +58,9 @@ class TikhonovLinearSolver(LinearSolver):
         self._B_adj = B_adj
         self._b_reg = np.asarray(b_reg, dtype=np.float64) / self._x_scale
         self._bounds = bounds
+        # Fused normal operators for the minimizer="cg" fast path
+        self._normal_A = normal_A
+        self._normal_B = normal_B
         self._solve_cache = {}
 
     def get_B(self):
@@ -85,7 +89,8 @@ class TikhonovLinearSolver(LinearSolver):
                     b, b_reg, x0, alpha,
                     data_loss=self._data_loss, data_loss_scale=dls,
                     minimizer=self._minimizer, iter_max=self._iter_max,
-                    bounds=self._bounds)
+                    bounds=self._bounds, normal_A=self._normal_A,
+                    normal_B=self._normal_B)
 
             self._solve_cache[key] = jit_closed(fn, args)
         x = self._solve_cache[key](*args)
@@ -124,7 +129,8 @@ class TikhonovLinearSolver(LinearSolver):
                 data_loss=self._data_loss,
                 data_loss_scale=data_loss_scale,
                 minimizer=self._minimizer, iter_max=self._iter_max,
-                bounds=self._bounds)
+                bounds=self._bounds, normal_A=self._normal_A,
+                normal_B=self._normal_B)
             if record_fn is None:
                 return x, None
             recs = jax.tree_util.tree_map(
@@ -147,7 +153,8 @@ class ADMMLinearSolver(LinearSolver):
     def __init__(self, A, A_adj, b, B, B_adj, x0, dimension=None, b_reg=0,
                  alpha=0.01, iter_max=10, minimizer="lsmr",
                  data_loss="linear", data_loss_scale=1, rho=0.5,
-                 iterations=10, x_scale=1, verbose=0):
+                 iterations=10, x_scale=1, verbose=0,
+                 normal_A=None, normal_B=None):
         LinearSolver.__init__(
             self, A=A, A_adj=A_adj, b=b, x0=x0, alpha=alpha,
             x_scale=x_scale, data_loss=data_loss,
@@ -159,6 +166,9 @@ class ADMMLinearSolver(LinearSolver):
         self._dimension = dimension  # retained for API parity; shapes carry d
         self._rho = float(rho)
         self._iterations = int(iterations)
+        # Fused normal operators for the minimizer="cg" fast path
+        self._normal_A = normal_A
+        self._normal_B = normal_B
         self._solve_cache = {}
 
     def set_rho(self, rho):
@@ -197,7 +207,8 @@ class ADMMLinearSolver(LinearSolver):
                     iterations=self._iterations, iter_max=self._iter_max,
                     data_loss=self._data_loss, data_loss_scale=dls,
                     minimizer=self._minimizer, record_fn=record_fn,
-                    record_trajectory=self._record_trajectory)
+                    record_trajectory=self._record_trajectory,
+                    normal_A=self._normal_A, normal_B=self._normal_B)
 
             self._solve_cache[key] = jit_closed(fn, args)
         x, records = self._solve_cache[key](*args)
@@ -229,7 +240,8 @@ class ADMMLinearSolver(LinearSolver):
                 iterations=self._iterations, iter_max=self._iter_max,
                 data_loss=self._data_loss,
                 data_loss_scale=data_loss_scale,
-                minimizer=self._minimizer, record_fn=record_fn)
+                minimizer=self._minimizer, record_fn=record_fn,
+                normal_A=self._normal_A, normal_B=self._normal_B)
 
         x_all, records = jit_closed(
             jax.vmap(solve_one), (alphas, rhos, dls))(alphas, rhos, dls)

@@ -118,3 +118,20 @@ def test_corrupt_data_roundtrip(tmp_path):
     corr = np.asarray(Image.open(result), dtype=float)
     assert corr.shape == orig.shape
     assert np.mean((corr - orig) ** 2) > 1.0  # actually corrupted
+
+
+def test_run_deconvolution_cg_fast_path(tmp_path):
+    """CLI exposes the fused normal-equation CG inner solver."""
+    result = str(tmp_path / "out_cg.png")
+    p = _run(["nsol_run_deconvolution.py",
+              "--observation",
+              os.path.join(DATA, "2D_Lena_256_blur_noise.png"),
+              "--reconstruction-type", "TVL2",
+              "--solver", "ADMM",
+              "--minimizer", "cg",
+              "--iterations", "5",
+              "--iter-max", "5",
+              "--blur", "1",
+              "--result", result])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(result)
