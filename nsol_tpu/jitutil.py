@@ -15,15 +15,23 @@ import jax
 __all__ = ["jit_closed"]
 
 
-def jit_closed(fn, example_args):
+def jit_closed(fn, example_args, in_shardings=None, out_shardings=None):
     """Return a callable equivalent to ``jax.jit(fn)`` with all closure-
     captured arrays hoisted to arguments.
 
     ``example_args``: abstract or concrete example inputs used to trace
     ``fn`` once. The returned callable accepts the same arguments as ``fn``.
+
+    ``in_shardings``: optional shardings for the *user* arguments (hoisted
+    constants are left unspecified → replicated by the partitioner).
     """
     converted, consts = jax.closure_convert(fn, *example_args)
-    jitted = jax.jit(converted)
+    kwargs = {}
+    if in_shardings is not None:
+        kwargs["in_shardings"] = list(in_shardings) + [None] * len(consts)
+    if out_shardings is not None:
+        kwargs["out_shardings"] = out_shardings
+    jitted = jax.jit(converted, **kwargs)
 
     def call(*args):
         return jitted(*args, *consts)

@@ -27,6 +27,32 @@ from nsol_tpu.jitutil import jit_closed
 __all__ = ["TikhonovLinearSolver", "ADMMLinearSolver", "PrimalDualSolver"]
 
 
+def _sharded_vmap_run(solve_one, arg_arrays, mesh):
+    """vmap ``solve_one`` over equal-length config arrays, optionally
+    sharding the batch across a 1-axis mesh (zero-padding to a multiple of
+    the mesh size). Returns (outputs, n_original)."""
+    n = len(arg_arrays[0])
+    arrs = [np.asarray(a, dtype=np.float64) for a in arg_arrays]
+    if mesh is not None:
+        size = int(np.prod(list(mesh.shape.values())))
+        pad = (-n) % size
+        if pad:
+            arrs = [np.concatenate([a, np.repeat(a[-1:], pad)])
+                    for a in arrs]
+    args = tuple(jnp.asarray(a) for a in arrs)
+
+    if mesh is None:
+        fn = jit_closed(jax.vmap(solve_one), args)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        args = tuple(jax.device_put(a, sh) for a in args)
+        fn = jit_closed(jax.vmap(solve_one), args,
+                        in_shardings=(sh,) * len(args), out_shardings=sh)
+    return fn(*args), n
+
+
 def _make_record_fn(measures, x_scale):
     """Build a jittable ``x -> {name: scalar}`` evaluating observer measures
     on the *rescaled* iterate (observers see ``get_x()`` units;
@@ -105,7 +131,7 @@ class TikhonovLinearSolver(LinearSolver):
         Bx = self._B(x)
         return 0.5 * jnp.sum(Bx * Bx)
 
-    def run_sweep(self, param_values, measures=None):
+    def run_sweep(self, param_values, measures=None, mesh=None):
         """Vmapped parameter sweep (TPU fast path of the study engine).
 
         ``param_values``: dict of per-configuration value arrays (cartesian
@@ -116,10 +142,9 @@ class TikhonovLinearSolver(LinearSolver):
         """
         record_fn = _make_record_fn(measures, self._x_scale)
         n = len(next(iter(param_values.values())))
-        alphas = jnp.asarray(param_values.get(
-            "alpha", np.full(n, self._alpha)))
-        dls = jnp.asarray(param_values.get(
-            "data_loss_scale", np.full(n, self._data_loss_scale)))
+        alphas = param_values.get("alpha", np.full(n, self._alpha))
+        dls = param_values.get("data_loss_scale",
+                               np.full(n, self._data_loss_scale))
 
         def solve_one(alpha, data_loss_scale):
             x = _tik.tikhonov_solve(
@@ -138,11 +163,11 @@ class TikhonovLinearSolver(LinearSolver):
                 record_fn(jnp.asarray(self._x0)), record_fn(x))
             return x, recs
 
-        x_all, records = jit_closed(jax.vmap(solve_one),
-                                    (alphas, dls))(alphas, dls)
-        x_np = np.asarray(x_all) * self._x_scale
+        (x_all, records), n = _sharded_vmap_run(
+            solve_one, (alphas, dls), mesh)
+        x_np = np.asarray(x_all)[:n] * self._x_scale
         rec_np = (None if records is None else
-                  {k: np.asarray(v) for k, v in records.items()})
+                  {k: np.asarray(v)[:n] for k, v in records.items()})
         return x_np, rec_np
 
 
@@ -220,17 +245,16 @@ class ADMMLinearSolver(LinearSolver):
         Bx = self._B(x)
         return jnp.sum(jnp.sqrt(jnp.sum(Bx * Bx, axis=0)))
 
-    def run_sweep(self, param_values, measures=None):
+    def run_sweep(self, param_values, measures=None, mesh=None):
         """Vmapped ``alpha×rho`` sweep — ONE compiled program for the whole
         grid (the reference loops it serially with reflective setters,
         nsol/solver_parameter_study.py:170-221)."""
         record_fn = _make_record_fn(measures, self._x_scale)
         n = len(next(iter(param_values.values())))
-        alphas = jnp.asarray(param_values.get(
-            "alpha", np.full(n, self._alpha)))
-        rhos = jnp.asarray(param_values.get("rho", np.full(n, self._rho)))
-        dls = jnp.asarray(param_values.get(
-            "data_loss_scale", np.full(n, self._data_loss_scale)))
+        alphas = param_values.get("alpha", np.full(n, self._alpha))
+        rhos = param_values.get("rho", np.full(n, self._rho))
+        dls = param_values.get("data_loss_scale",
+                               np.full(n, self._data_loss_scale))
 
         def solve_one(alpha, rho, data_loss_scale):
             return _admm.admm_solve(
@@ -243,12 +267,12 @@ class ADMMLinearSolver(LinearSolver):
                 minimizer=self._minimizer, record_fn=record_fn,
                 normal_A=self._normal_A, normal_B=self._normal_B)
 
-        x_all, records = jit_closed(
-            jax.vmap(solve_one), (alphas, rhos, dls))(alphas, rhos, dls)
-        x_np = np.asarray(x_all) * self._x_scale
+        (x_all, records), n = _sharded_vmap_run(
+            solve_one, (alphas, rhos, dls), mesh)
+        x_np = np.asarray(x_all)[:n] * self._x_scale
         rec_np = None
         if records is not None and "measures" in records:
-            rec_np = {k: np.asarray(v)
+            rec_np = {k: np.asarray(v)[:n]
                       for k, v in records["measures"].items()}
         return x_np, rec_np
 
@@ -322,13 +346,18 @@ class PrimalDualSolver(Solver):
         self._x = np.asarray(x)
         self._push_records(records)
 
-    def run_sweep(self, param_values, measures=None):
+    def run_sweep(self, param_values, measures=None, mesh=None):
         """Vmapped alpha sweep — the 64-alpha L-curve study runs as one
-        compiled batched program (BASELINE config 4)."""
+        compiled batched program (BASELINE config 4).
+
+        ``mesh``: optional 1-axis ``jax.sharding.Mesh``; when given, the
+        configuration batch is sharded across its devices (data-parallel
+        sweep over the ``"batch"`` axis, SURVEY.md §2 DP equivalent). The
+        batch is zero-padded to a multiple of the mesh size.
+        """
         record_fn = _make_record_fn(measures, self._x_scale)
         n = len(next(iter(param_values.values())))
-        alphas = jnp.asarray(param_values.get(
-            "alpha", np.full(n, self._alpha)))
+        alphas = param_values.get("alpha", np.full(n, self._alpha))
 
         def solve_one(alpha):
             return _pd.primal_dual_solve(
@@ -337,11 +366,10 @@ class PrimalDualSolver(Solver):
                 iterations=self._iterations, alg_type=self._alg_type,
                 record_fn=record_fn)
 
-        x_all, records = jit_closed(jax.vmap(solve_one),
-                                    (alphas,))(alphas)
-        x_np = np.asarray(x_all) * self._x_scale
+        (x_all, records), n = _sharded_vmap_run(solve_one, (alphas,), mesh)
+        x_np = np.asarray(x_all)[:n] * self._x_scale
         rec_np = None
         if records is not None and "measures" in records:
-            rec_np = {k: np.asarray(v)
+            rec_np = {k: np.asarray(v)[:n]
                       for k, v in records["measures"].items()}
         return x_np, rec_np

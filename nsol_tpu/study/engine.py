@@ -54,7 +54,8 @@ class SolverParameterStudy(ParameterStudy):
     _vmappable = frozenset()
 
     def __init__(self, solver, observer, dir_output, name, parameters,
-                 reconstruction_info=None, append=False, use_vmap=True):
+                 reconstruction_info=None, append=False, use_vmap=True,
+                 mesh=None):
         ParameterStudy.__init__(self, directory=dir_output, name=name)
         self._solver = solver
         self._parameters = dict(parameters)
@@ -62,6 +63,9 @@ class SolverParameterStudy(ParameterStudy):
         self._reconstruction_info = dict(reconstruction_info or {})
         self._append = append
         self._use_vmap = use_vmap
+        #: optional 1-axis batch mesh: the vmapped sweep shards its
+        #: configuration batch across these devices
+        self._mesh = mesh
         self._computational_time = None
 
     def get_parameters(self):
@@ -187,7 +191,8 @@ class SolverParameterStudy(ParameterStudy):
 
         t0 = ph.start_timing()
         x_all, records = self._solver.run_sweep(param_values,
-                                                measures=measures)
+                                                measures=measures,
+                                                mesh=self._mesh)
         elapsed = ph.stop_timing(t0)
         per_config = elapsed / len(combos)
 
@@ -259,7 +264,7 @@ class TikhonovLinearSolverParameterStudy(SolverParameterStudy):
 
     def __init__(self, solver, observer, dir_output, name="Tikhonov",
                  parameters=None, reconstruction_info=None, append=False,
-                 use_vmap=True):
+                 use_vmap=True, mesh=None):
         if not isinstance(solver, W.TikhonovLinearSolver):
             raise TypeError("solver must be of type 'TikhonovLinearSolver'")
         if parameters is None:
@@ -271,7 +276,7 @@ class TikhonovLinearSolverParameterStudy(SolverParameterStudy):
             self, solver=solver, observer=observer, dir_output=dir_output,
             name=name, parameters=parameters,
             reconstruction_info=reconstruction_info, append=append,
-            use_vmap=use_vmap)
+            use_vmap=use_vmap, mesh=mesh)
 
 
 class ADMMLinearSolverParameterStudy(SolverParameterStudy):
@@ -283,7 +288,7 @@ class ADMMLinearSolverParameterStudy(SolverParameterStudy):
 
     def __init__(self, solver, observer, dir_output, name="ADMM",
                  parameters=None, reconstruction_info=None, append=False,
-                 use_vmap=True):
+                 use_vmap=True, mesh=None):
         if not isinstance(solver, W.ADMMLinearSolver):
             raise TypeError("solver must be of type 'ADMMLinearSolver'")
         if parameters is None:
@@ -295,7 +300,7 @@ class ADMMLinearSolverParameterStudy(SolverParameterStudy):
             self, solver=solver, observer=observer, dir_output=dir_output,
             name=name, parameters=parameters,
             reconstruction_info=reconstruction_info, append=append,
-            use_vmap=use_vmap)
+            use_vmap=use_vmap, mesh=mesh)
 
 
 class PrimalDualSolverParameterStudy(SolverParameterStudy):
@@ -306,7 +311,7 @@ class PrimalDualSolverParameterStudy(SolverParameterStudy):
 
     def __init__(self, solver, observer, dir_output, name="PrimalDual",
                  parameters=None, reconstruction_info=None, append=False,
-                 use_vmap=True):
+                 use_vmap=True, mesh=None):
         if not isinstance(solver, W.PrimalDualSolver):
             raise TypeError("solver must be of type 'PrimalDualSolver'")
         if parameters is None:
@@ -318,4 +323,4 @@ class PrimalDualSolverParameterStudy(SolverParameterStudy):
             self, solver=solver, observer=observer, dir_output=dir_output,
             name=name, parameters=parameters,
             reconstruction_info=reconstruction_info, append=append,
-            use_vmap=use_vmap)
+            use_vmap=use_vmap, mesh=mesh)

@@ -162,3 +162,42 @@ def test_admm_study_vmapped_alpha_rho_grid(tmp_path, rng):
     lines = reader.get_lines_to_parameters(
         {"alpha": [0.01, 0.05], "rho": 0.5})
     assert list(lines) == [1, 3]
+
+
+def test_vmapped_sweep_sharded_over_batch_mesh(tmp_path, rng):
+    """The vmapped alpha sweep sharded over a 4-device batch mesh equals the
+    single-device sweep (BASELINE config 4 scale-out)."""
+    import jax
+    from nsol_tpu.parallel import make_mesh
+
+    b = np.random.RandomState(11).rand(12, 14) * 10
+    solver, grad_j, bj = _make_pd_solver(b)
+    obs = Observer()
+    obs.set_measures(_measures(grad_j, bj))
+    out_plain = str(tmp_path / "plain")
+    # 5 alphas over 4 devices exercises the padding path
+    alphas = [0.1, 0.2, 0.4, 0.6, 0.8]
+    study = PrimalDualSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out_plain, name="study",
+        parameters={"alpha": alphas}, use_vmap=True)
+    study.run()
+
+    solver2, grad_j2, bj2 = _make_pd_solver(b)
+    obs2 = Observer()
+    obs2.set_measures(_measures(grad_j2, bj2))
+    out_mesh = str(tmp_path / "meshed")
+    mesh = make_mesh((4,), ("batch",))
+    study2 = PrimalDualSolverParameterStudy(
+        solver=solver2, observer=obs2, dir_output=out_mesh, name="study",
+        parameters={"alpha": alphas}, use_vmap=True, mesh=mesh)
+    study2.run()
+
+    r1 = ReaderParameterStudy(directory=out_plain, name="study")
+    r1.read_study()
+    r2 = ReaderParameterStudy(directory=out_mesh, name="study")
+    r2.read_study()
+    for m in ["Data", "Reg"]:
+        np.testing.assert_allclose(r1.get_results(m), r2.get_results(m),
+                                   rtol=1e-12)
+    np.testing.assert_array_equal(
+        r1.get_reconstructions()["4"], r2.get_reconstructions()["4"])
