@@ -16,6 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from nsol_tpu import timer as ph
+from nsol_tpu.defaults import default_dtype
 from nsol_tpu.ops import losses as lf
 
 __all__ = ["Solver", "LinearSolver"]
@@ -26,7 +27,10 @@ class Solver(object):
 
     def __init__(self, x0, x_scale=1.0, verbose=0):
         self._x_scale = float(x_scale)
-        self._x0 = np.asarray(x0, dtype=np.float64) / self._x_scale
+        # Library compute dtype: float64 under x64 (CPU tests), float32 on
+        # TPU — the reference is float64-only (nsol/solver.py:37).
+        self._dtype = default_dtype()
+        self._x0 = np.asarray(x0, dtype=self._dtype) / self._x_scale
         self._x = np.array(self._x0)
         self._verbose = verbose
         self._computational_time = None
@@ -49,7 +53,7 @@ class Solver(object):
         return self._verbose
 
     def set_x0(self, x0):
-        self._x0 = np.asarray(x0, dtype=np.float64) / self._x_scale
+        self._x0 = np.asarray(x0, dtype=self._dtype) / self._x_scale
         self._x = np.array(self._x0)
 
     def get_x0(self):
@@ -115,7 +119,7 @@ class LinearSolver(Solver):
         Solver.__init__(self, x0=x0, x_scale=x_scale, verbose=verbose)
         self._A = A
         self._A_adj = A_adj
-        self._b = np.asarray(b, dtype=np.float64) / self._x_scale
+        self._b = np.asarray(b, dtype=self._dtype) / self._x_scale
         self._alpha = float(alpha)
         self._data_loss = data_loss
         self._data_loss_scale = float(data_loss_scale)

@@ -82,7 +82,7 @@ class TikhonovLinearSolver(LinearSolver):
             iter_max=iter_max, verbose=verbose)
         self._B = B
         self._B_adj = B_adj
-        self._b_reg = np.asarray(b_reg, dtype=np.float64) / self._x_scale
+        self._b_reg = np.asarray(b_reg, dtype=self._dtype) / self._x_scale
         self._bounds = bounds
         # Fused normal operators for the minimizer="cg" fast path
         self._normal_A = normal_A
@@ -187,7 +187,7 @@ class ADMMLinearSolver(LinearSolver):
             iter_max=iter_max, verbose=verbose)
         self._B = B
         self._B_adj = B_adj
-        self._b_reg = np.asarray(b_reg, dtype=np.float64) / self._x_scale
+        self._b_reg = np.asarray(b_reg, dtype=self._dtype) / self._x_scale
         self._dimension = dimension  # retained for API parity; shapes carry d
         self._rho = float(rho)
         self._iterations = int(iterations)
