@@ -56,12 +56,16 @@ def main():
     shape = x_true.shape
 
     cov = np.diag([SIGMA ** 2] * 3)
-    # Fastest configuration (measured, BASELINE.md): separable roll-conv
-    # blur + CG on the fused normal equations (self-correlated blur kernel
-    # and one-pass DᵀD Laplacian).
+    # Fastest configuration (measured, BASELINE.md): MXU circulant-matmul
+    # blur + CG on the fused normal equations (AᵀA as self-correlated
+    # circulant matmuls, DᵀD as tridiagonal matmuls).
+    from nsol_tpu.ops import matmul_ops as MM
+
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
                                      method="auto", dtype=dtype)
-    nA = C.make_normal_blur_operator(cov, alpha_cut=3, dtype=dtype)
+    nA = C.make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                     dtype=dtype)
+    nB = MM.matmul_gradient_normal_fn(shape, dtype=dtype)
     Bg, Bg_adj = G.make_gradient_operators()
 
     xj = jnp.asarray(x_true)
@@ -74,7 +78,7 @@ def main():
     solve = jit_closed(
         partial(admm_solve, A, A_adj, Bg, Bg_adj,
                 iterations=ITERATIONS, iter_max=ITER_MAX, minimizer="cg",
-                normal_A=nA, normal_B=G.gradient_normal),
+                normal_A=nA, normal_B=nB),
         (b, b_reg, b, alpha, rho))
 
     # NOTE on timing under the axon tunnel: ``block_until_ready`` does NOT

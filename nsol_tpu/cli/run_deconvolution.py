@@ -85,9 +85,15 @@ def main():
     # Fused normal operators for the minimizer="cg" fast path
     normal_A = normal_B = None
     if args.minimizer == "cg":
+        from nsol_tpu.ops import matmul_ops as MM
+
         normal_A = C.make_normal_blur_operator(
             cov, alpha_cut=3, spacing=spacing, shape=observed_nda.shape)
-        normal_B = lambda x: G.gradient_normal(x, spacing)
+        try:
+            normal_B = MM.matmul_gradient_normal_fn(
+                observed_nda.shape, spacing)
+        except Exception:
+            normal_B = lambda x: G.gradient_normal(x, spacing)
 
     solver_interface = DeconvolutionSolverStudyInterface(
         A=A, A_adj=A_adj, D=grad_op, D_adj=grad_adj, b=b, x0=x0,

@@ -186,6 +186,14 @@ def make_normal_blur_operator(cov, alpha_cut=3, spacing=None, shape=None,
                                dtype=np.float64)
     factors = separable_factors(kernel64)
     if factors is not None:
+        if shape is not None and len(shape) > 1:
+            # MXU path: per-axis circulant matmuls (fastest on TPU)
+            from nsol_tpu.ops.matmul_ops import \
+                make_matmul_normal_blur_operator
+
+            return make_matmul_normal_blur_operator(
+                cov, alpha_cut=alpha_cut, spacing=spacing, shape=shape,
+                dtype=dtype)
         auto = [np.convolve(f, f[::-1]).astype(dtype) for f in factors]
         return separable_convolve_fn(auto)
     if shape is None:
@@ -214,10 +222,12 @@ def make_blur_operators(cov, alpha_cut=3, spacing=None, shape=None,
     symmetric under per-axis flips, so ``A_adj = A`` — same as the reference's
     ``kernel_adj = kernel`` (nsol/linear_operators.py:63).
 
-    method: "separable" (per-axis roll-accumulate; diagonal covariance
-    only — fastest on TPU), "fft" (circular spectrum product; requires
-    ``shape``), "direct" (lax conv with wrap padding; shape-polymorphic),
-    or "auto" (separable when the stencil separates, else fft/direct).
+    method: "matmul" (per-axis circulant matmuls on the MXU; diagonal
+    covariance + static shape — fastest on TPU), "separable" (per-axis
+    roll-accumulate on the VPU; shape-polymorphic), "fft" (circular
+    spectrum product; requires ``shape``), "direct" (lax conv with wrap
+    padding), or "auto" (matmul → separable → fft → direct by
+    availability).
     """
     from nsol_tpu.ops.kernels import gaussian_kernel
 
@@ -231,10 +241,19 @@ def make_blur_operators(cov, alpha_cut=3, spacing=None, shape=None,
     if factors is not None:
         factors = [f.astype(dtype) for f in factors]
     if method == "auto":
-        if factors is not None:
+        if factors is not None and shape is not None and len(shape) > 1:
+            method = "matmul"
+        elif factors is not None:
             method = "separable"
         else:
             method = "fft" if shape is not None else "direct"
+
+    if method == "matmul":
+        from nsol_tpu.ops.matmul_ops import make_matmul_blur_operators
+
+        return make_matmul_blur_operators(cov, alpha_cut=alpha_cut,
+                                          spacing=spacing, shape=shape,
+                                          dtype=dtype)
 
     if method == "separable":
         if factors is None:
