@@ -90,7 +90,8 @@ def config2_lena_robust_deconv():
     x_scale = float(blurred.max())
     b = jnp.asarray(blurred / x_scale)
     cov = np.diag([1.0, 1.0])
-    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, method="separable",
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3,
+                                     shape=blurred.shape, method="auto",
                                      dtype=DTYPE)
     Bg, Bg_adj = G.make_gradient_operators()
     br = jnp.zeros((2,) + blurred.shape, DTYPE)
@@ -155,9 +156,52 @@ def config4_man1024_alpha_sweep():
             "iters_per_sec": round(total_solves * 50 / per, 1)}
 
 
+def config_scale_256cubed():
+    """Synthetic 256³ TV-L2 deconvolution, ADMM + normal-equation CG on the
+    MXU path — the single-chip scale demonstration (1 GiB-class working
+    set; the sharded multi-chip variant is BASELINE config 5)."""
+    from nsol_tpu.ops import matmul_ops as MM
+    from nsol_tpu.solvers.admm import admm_solve as _admm_solve
+
+    shape = (256, 256, 256)
+    rng = np.random.RandomState(0)
+    x_true = (rng.rand(*shape) > 0.7).astype(DTYPE)
+    cov = np.diag([1.0] * 3)
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="auto", dtype=DTYPE)
+    nA = C.make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                     dtype=DTYPE)
+    nB = MM.matmul_gradient_normal_fn(shape, dtype=DTYPE)
+    Bg, Bg_adj = G.make_gradient_operators()
+    xj = jnp.asarray(x_true)
+    b = jit_closed(A, (xj,))(xj)
+    br = jnp.zeros((3,) + shape, DTYPE)
+    al = jnp.asarray(0.01, DTYPE)
+    rh = jnp.asarray(0.5, DTYPE)
+
+    def solve(bi, x0):
+        x, _ = _admm_solve(A, A_adj, Bg, Bg_adj, bi, br, x0, al, rh,
+                           iterations=50, iter_max=10, minimizer="cg",
+                           normal_A=nA, normal_B=nB)
+        return x
+
+    f = jit_closed(solve, (b, b))
+    np.asarray(f(b, b)[0, 0, 0])
+    n = 3
+    t0 = time.perf_counter()
+    xi = b
+    for _ in range(n):
+        xi = f(b, xi)
+    np.asarray(xi[0, 0, 0])
+    per = (time.perf_counter() - t0) / n
+    return {"config": "synthetic_256cubed_tv_admm_cg_50it",
+            "iters_per_sec": round(50 / per, 1),
+            "s_per_solve": round(per, 3)}
+
+
 def main():
     for fn in (config1_lena_pd_denoise, config2_lena_robust_deconv,
-               config4_man1024_alpha_sweep):
+               config4_man1024_alpha_sweep, config_scale_256cubed):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as e:  # keep the suite going
