@@ -8,10 +8,12 @@ from nsol_tpu.parallel.halo import (
 )
 from nsol_tpu.parallel.mesh import (
     make_mesh, make_space_mesh, sharded_tv_admm_solve,
+    sharded_tv_denoise_solve,
 )
 
 __all__ = [
     "exchange_plane_up", "exchange_plane_down", "exchange_halo_wrap",
     "make_sharded_gradient_operators", "make_sharded_blur_operators",
     "make_mesh", "make_space_mesh", "sharded_tv_admm_solve",
+    "sharded_tv_denoise_solve",
 ]

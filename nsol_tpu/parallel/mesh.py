@@ -17,9 +17,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from nsol_tpu.parallel import halo
+from nsol_tpu.jitutil import jit_closed
 from nsol_tpu.solvers import admm as _admm
+from nsol_tpu.solvers import primal_dual as _pd
+from nsol_tpu.ops import prox as _prox
 
-__all__ = ["make_mesh", "make_space_mesh", "sharded_tv_admm_solve"]
+__all__ = ["make_mesh", "make_space_mesh", "sharded_tv_admm_solve",
+           "sharded_tv_denoise_solve"]
 
 
 def make_mesh(shape, axis_names, devices=None):
@@ -67,8 +71,6 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
             axis_name=axis_name)
         return x
 
-    from nsol_tpu.jitutil import jit_closed
-
     mapped = jax.shard_map(
         local_solve, mesh=mesh,
         in_specs=(P("space"), P("space"), P(), P()),
@@ -79,4 +81,47 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
     x0_d = jax.device_put(jnp.asarray(x0), sh)
     args = (b_d, x0_d, jnp.asarray(alpha, b_d.dtype),
             jnp.asarray(rho, b_d.dtype))
+    return jit_closed(mapped, args)(*args)
+
+
+def sharded_tv_denoise_solve(mesh, b, alpha, spacing=None, iterations=50,
+                             L2=8.0, alg_type="ALG2", variant="TVL2"):
+    """TV/Huber-L1/L2 denoising of a volume sharded along array axis 0.
+
+    Chambolle–Pock with halo-exchange gradient stencils inside one
+    ``shard_map`` — the elementwise proxes are local, only the stencils
+    communicate (1-plane ghost zones per iteration over ICI).
+    ``variant`` ∈ {TVL1, TVL2, HuberL1, HuberL2}.
+    """
+    n_shards = mesh.shape["space"]
+    if b.shape[0] % n_shards:
+        raise ValueError("leading axis %d not divisible by %d shards"
+                         % (b.shape[0], n_shards))
+
+    Bg, Bg_adj = halo.make_sharded_gradient_operators(
+        spacing, axis_name="space", n_shards=n_shards)
+
+    if variant in ("TVL1", "HuberL1"):
+        prox_f = _prox.prox_ell1_denoising
+    elif variant in ("TVL2", "HuberL2"):
+        prox_f = _prox.prox_ell2_denoising
+    else:
+        raise ValueError("variant '%s' not known" % variant)
+    prox_g_conj = (_prox.prox_tv_conj if variant.startswith("TV")
+                   else _prox.prox_huber_conj)
+
+    def local_solve(b_loc, alpha_v):
+        x, _ = _pd.primal_dual_solve(
+            lambda x, tau: prox_f(x, tau, b_loc), prox_g_conj,
+            Bg, Bg_adj, b_loc, alpha_v, L2, iterations=iterations,
+            alg_type=alg_type)
+        return x
+
+    mapped = jax.shard_map(
+        local_solve, mesh=mesh, in_specs=(P("space"), P()),
+        out_specs=P("space"))
+
+    sh = NamedSharding(mesh, P("space"))
+    b_d = jax.device_put(jnp.asarray(b), sh)
+    args = (b_d, jnp.asarray(alpha, b_d.dtype))
     return jit_closed(mapped, args)(*args)

@@ -132,3 +132,31 @@ def test_sharded_tv_admm_matches_single_device(mesh, rng):
 
     np.testing.assert_allclose(x_sharded, np.asarray(x_single),
                                atol=1e-9)
+
+
+@pytest.mark.parametrize("variant", ["TVL2", "HuberL1"])
+def test_sharded_pd_denoise_matches_single_device(mesh, variant, rng):
+    """Sharded Chambolle–Pock denoising equals the single-device solve."""
+    from functools import partial as _partial
+
+    from nsol_tpu.parallel import sharded_tv_denoise_solve
+    from nsol_tpu.solvers.primal_dual import primal_dual_solve
+    from nsol_tpu.ops import prox as prox_ops
+
+    shape = (16, 12, 10)
+    b = rng.rand(*shape)
+    alpha = 0.4
+
+    x_sharded = np.asarray(sharded_tv_denoise_solve(
+        mesh, b, alpha, iterations=10, variant=variant))
+
+    bj = jnp.asarray(b)
+    prox_f = (prox_ops.prox_ell2_denoising if variant.endswith("L2")
+              else prox_ops.prox_ell1_denoising)
+    prox_g = (prox_ops.prox_tv_conj if variant.startswith("TV")
+              else prox_ops.prox_huber_conj)
+    Bg, Bg_adj = G.make_gradient_operators()
+    x_single, _ = jax.jit(_partial(
+        primal_dual_solve, lambda x, tau: prox_f(x, tau, bj), prox_g,
+        Bg, Bg_adj, iterations=10))(bj, alpha, 8.0)
+    np.testing.assert_allclose(x_sharded, np.asarray(x_single), atol=1e-11)
