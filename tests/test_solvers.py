@@ -364,3 +364,91 @@ def test_tikhonov_wrapper_scale_invariance(rng):
     x1 = run(b / x_scale, 1.0)
     x2 = run(b, x_scale)
     np.testing.assert_array_almost_equal(x1, x2 / x_scale, decimal=7)
+
+
+def _reference_pd_denoise_oracle(b, alpha, L2, iterations, alg_type,
+                                 variant="TVL2"):
+    """Literal numpy evaluation of the reference PD iteration for all three
+    step-size schedules (nsol/primal_dual_solver.py:215-403)."""
+    shape = b.shape
+    grad, grad_adj = _np_gradient_ops(shape)
+    lmbda = 1.0 / alpha
+    if alg_type == "ALG2":
+        tau = 1.0 / np.sqrt(L2)
+        sigma = 1.0 / (L2 * tau)
+        gamma = 0.35 * lmbda
+    elif alg_type == "ALG2_AHMOD":
+        tau = 0.02
+        sigma = 4.0 / (L2 * tau)
+        gamma = 0.35 * lmbda
+    else:  # ALG3
+        gamma_l = lmbda
+        delta = 0.05
+        mu = 2.0 * np.sqrt(gamma_l * delta / L2)
+        theta_const = 1.0 / (1.0 + mu)
+        sigma = mu / (2.0 * delta)
+        tau = mu / (2.0 * gamma_l)
+
+    def prox_g_conj(q, sg):
+        if variant.startswith("TV"):
+            return q / np.maximum(1, np.abs(q))
+        y = q / (1.0 + sg * 0.05)
+        return y / np.maximum(1, np.abs(y))
+
+    x = b.copy()
+    x_mean = b.copy()
+    p = np.zeros((len(shape),) + shape)
+    for _ in range(iterations):
+        p = prox_g_conj(p + sigma * grad(x_mean), sigma)
+        t = x - tau * grad_adj(p)
+        tl = tau * lmbda
+        x_new = (t + tl * b) / (1.0 + tl)
+        if alg_type == "ALG2":
+            theta = 1.0 / np.sqrt(1.0 + 2.0 * gamma * tau)
+            tau *= theta
+            sigma /= theta
+        elif alg_type == "ALG2_AHMOD":
+            th = 1.0 / np.sqrt(1.0 + 2.0 * gamma * tau)
+            tau *= th
+            sigma /= th
+            theta = 0.0
+        else:
+            theta = theta_const
+        x_mean = x_new + theta * (x_new - x)
+        x = x_new
+    return x
+
+
+@pytest.mark.parametrize("alg_type", ["ALG2_AHMOD", "ALG3"])
+def test_pd_alg_variants_match_reference_iterates(alg_type, rng):
+    """Iterate-level parity for the AHMOD and ALG3 step schedules."""
+    b = rng.rand(16, 18) * 4.0
+    alpha, L2, iters = 0.5, 8.0, 15
+    x_ref = _reference_pd_denoise_oracle(b, alpha, L2, iters, alg_type)
+
+    grad_j, grad_adj_j = G.make_gradient_operators()
+    bj = jnp.asarray(b)
+    solver = PrimalDualSolver(
+        prox_f=lambda x, tau: prox_ops.prox_ell2_denoising(x, tau, bj),
+        prox_g_conj=prox_ops.prox_tv_conj,
+        B=grad_j, B_conj=grad_adj_j, L2=L2, x0=np.array(b), alpha=alpha,
+        iterations=iters, alg_type=alg_type)
+    solver.run()
+    np.testing.assert_allclose(solver.get_x(), x_ref, atol=1e-9)
+
+
+def test_pd_huber_conj_matches_reference_iterates(rng):
+    """HuberL2 denoising (prox_huber_conj dual) iterate parity."""
+    b = rng.rand(14, 14) * 3.0
+    alpha, L2, iters = 0.6, 8.0, 12
+    x_ref = _reference_pd_denoise_oracle(b, alpha, L2, iters, "ALG2",
+                                         variant="HuberL2")
+    grad_j, grad_adj_j = G.make_gradient_operators()
+    bj = jnp.asarray(b)
+    solver = PrimalDualSolver(
+        prox_f=lambda x, tau: prox_ops.prox_ell2_denoising(x, tau, bj),
+        prox_g_conj=prox_ops.prox_huber_conj,
+        B=grad_j, B_conj=grad_adj_j, L2=L2, x0=np.array(b), alpha=alpha,
+        iterations=iters)
+    solver.run()
+    np.testing.assert_allclose(solver.get_x(), x_ref, atol=1e-9)

@@ -201,3 +201,27 @@ def test_vmapped_sweep_sharded_over_batch_mesh(tmp_path, rng):
                                    rtol=1e-12)
     np.testing.assert_array_equal(
         r1.get_reconstructions()["4"], r2.get_reconstructions()["4"])
+
+
+def test_mixed_string_and_scalar_sweep_serial(tmp_path, rng):
+    """Sweeping a non-vmappable key (alg_type strings) falls back to the
+    reflective serial loop and still writes a consistent study."""
+    b = np.random.RandomState(5).rand(10, 12) * 8
+    solver, grad_j, bj = _make_pd_solver(b)
+    obs = Observer()
+    obs.set_measures(_measures(grad_j, bj))
+    out = str(tmp_path / "mixed")
+    study = PrimalDualSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out, name="mix",
+        parameters={"alpha": [0.1, 0.5],
+                    "alg_type": ["ALG2", "ALG3"]})
+    study.run()
+
+    reader = ReaderParameterStudy(directory=out, name="mix")
+    reader.read_study()
+    assert reader.get_results("Data").shape[0] == 4
+    params = reader.get_parameters()
+    assert params["alg_type"] == ["ALG2", "ALG3"]
+    lines = reader.get_lines_to_parameters(
+        {"alpha": [0.1, 0.5], "alg_type": "ALG3"})
+    assert list(lines) == [1, 3]
