@@ -135,3 +135,33 @@ def test_run_deconvolution_cg_fast_path(tmp_path):
               "--result", result])
     assert p.returncode == 0, p.stderr[-2000:]
     assert os.path.isfile(result)
+
+
+def test_run_denoising_admm_solver(tmp_path):
+    """ADMM denoising path (the reference leaves this commented out —
+    implemented here, TVL2 only)."""
+    result = str(tmp_path / "out_admm.png")
+    p = _run(["nsol_run_denoising.py",
+              "--observation", os.path.join(DATA, "2D_Lena_256_noise.png"),
+              "--reconstruction-type", "TVL2",
+              "--solver", "ADMM",
+              "--iterations", "4",
+              "--result", result])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(result)
+
+
+def test_run_denoising_multiple_alphas_with_reference(tmp_path):
+    figs = str(tmp_path / "figs")
+    p = _run(["nsol_run_denoising.py",
+              "--observation", os.path.join(DATA, "2D_Lena_256_noise.png"),
+              "--reference", os.path.join(DATA, "2D_Lena_256.png"),
+              "--reconstruction-type", "TVL2",
+              "--iterations", "4",
+              "--alpha", "0.1", "0.5",
+              "--measures", "RMSE", "PSNR",
+              "--verbose", "1",
+              "--dir-output-figures", figs])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(os.path.join(figs, "TVL2_comparison.pdf"))
+    assert os.path.isfile(os.path.join(figs, "TVL2_RMSE.pdf"))
