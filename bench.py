@@ -45,8 +45,7 @@ def main():
     from nsol_tpu.io import read_nifti
     from nsol_tpu.ops import conv as C
     from nsol_tpu.ops import grad as G
-    from nsol_tpu.ops import kernels as K
-    from nsol_tpu.solvers.admm import admm_solve
+        from nsol_tpu.solvers.admm import admm_solve
 
     from nsol_tpu.jitutil import jit_closed
 

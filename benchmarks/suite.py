@@ -16,7 +16,6 @@ Prints one JSON line per config.
 
 import json
 import time
-from functools import partial
 
 import numpy as np
 

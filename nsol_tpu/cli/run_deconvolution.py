@@ -10,7 +10,6 @@ via ``set_alpha`` (no retrace — alpha is a traced argument).
 import os
 
 import numpy as np
-import jax.numpy as jnp
 
 from nsol_tpu import timer as ph
 from nsol_tpu.cli.argparser import InputArgparser

@@ -13,7 +13,6 @@ Circular shifts use ``pltpu.roll``; tap weights are compile-time scalars
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

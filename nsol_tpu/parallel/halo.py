@@ -15,8 +15,6 @@ fall out of ``ppermute``'s convention that un-addressed destinations receive
 zeros — exactly the reference's ``mode="constant"`` global edge.
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ Two mesh axes cover the library's scale-out patterns:
   image batches; BASELINE config 4)
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ XLA program. Parity with L-BFGS-B is defined on the converged objective
 (BASELINE.md), not on iterate trajectories.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

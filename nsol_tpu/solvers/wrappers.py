@@ -12,8 +12,6 @@ flattening closures (nsol/application/run_deconvolution.py:120-129)
 disappear. ``B`` for TV solvers is the stacked ``(d, *shape)`` gradient.
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -17,16 +17,11 @@ import os
 import re
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from nsol_tpu import timer as ph
 from nsol_tpu.study.paths import ParameterStudy
 from nsol_tpu.study.reader import ReaderParameterStudy
 from nsol_tpu.solvers import wrappers as W
-from nsol_tpu.solvers import primal_dual as _pd
-from nsol_tpu.solvers import admm as _admm
-from nsol_tpu.solvers import tikhonov as _tik
 
 __all__ = [
     "SolverParameterStudy", "TikhonovLinearSolverParameterStudy",
