@@ -140,11 +140,15 @@ class SolverParameterStudy(ParameterStudy):
             previous = 0
             dic_x = dict(self._reconstruction_info)
 
-        vmappable = (self._use_vmap
-                     and set(keys) <= self._vmappable
-                     and len(combos) > 1)
-        if vmappable:
+        vmap_keys = [k for k in keys if k in self._vmappable]
+        static_keys = [k for k in keys if k not in self._vmappable]
+        if self._use_vmap and len(combos) > 1 and not static_keys:
             self._run_vmapped(keys, combos, previous, dic_x)
+        elif (self._use_vmap and len(combos) > 1 and vmap_keys
+              and all(hasattr(self._solver, "set_%s" % k)
+                      for k in static_keys)):
+            self._run_hybrid(keys, vmap_keys, static_keys, combos,
+                             previous, dic_x)
         else:
             self._run_serial(keys, combos, previous, dic_x)
 
@@ -175,6 +179,55 @@ class SolverParameterStudy(ParameterStudy):
             self._observer.clear_x_list()
             self._observer.clear_results()
             self._solver.set_x0(self._solver.get_x0())
+
+    def _run_hybrid(self, keys, vmap_keys, static_keys, combos, previous,
+                    dic_x):
+        """Mixed sweep: vmap the traced-scalar axes within each combination
+        of the static (string) axes — e.g. the reference's default
+        ``alpha × data_loss`` grid runs as one vmapped program per
+        data_loss. Results are written in the original cartesian row order.
+        """
+        ph.print_title(
+            "%s: hybrid sweep — vmapping %s within each %s combination "
+            "(%d configurations)"
+            % (self._name, vmap_keys, static_keys, len(combos)))
+        measures = self._observer.get_measures()
+
+        # group rows by their static-key values, preserving global indices
+        groups = {}
+        for i, vals in enumerate(combos):
+            static_vals = tuple(v for k, v in zip(keys, vals)
+                                if k in static_keys)
+            groups.setdefault(static_vals, []).append(i)
+
+        results = {}
+        t0 = ph.start_timing()
+        for static_vals, rows in groups.items():
+            for k, v in zip(static_keys, static_vals):
+                getattr(self._solver, "set_%s" % k)(v)
+            param_values = {
+                k: np.array([combos[i][keys.index(k)] for i in rows],
+                            dtype=np.float64)
+                for k in vmap_keys}
+            x_all, records = self._solver.run_sweep(
+                param_values, measures=measures, mesh=self._mesh)
+            for j, i in enumerate(rows):
+                results[i] = (x_all[j],
+                              {m: records[m][j] for m in measures}
+                              if measures else {})
+        elapsed = ph.stop_timing(t0)
+        per_config = elapsed / len(combos)
+
+        for i, vals in enumerate(combos):
+            x_i, recs_i = results[i]
+            dic_parameter = {k: str(v) for k, v in zip(keys, vals)}
+            for measure in measures:
+                self._add_to_file_measures(
+                    measure, np.asarray(recs_i[measure]).reshape(1, -1))
+            self._add_to_file_computational_time(per_config)
+            self._add_to_file_parameters(dic_parameter)
+            dic_x[str(i + previous)] = np.array(x_i, dtype=np.float16)
+        self._write_to_file_reconstructions(dic_x)
 
     def _run_vmapped(self, keys, combos, previous, dic_x):
         ph.print_title("%s: vmapped sweep over %d configurations"

@@ -225,3 +225,49 @@ def test_mixed_string_and_scalar_sweep_serial(tmp_path, rng):
     lines = reader.get_lines_to_parameters(
         {"alpha": [0.1, 0.5], "alg_type": "ALG3"})
     assert list(lines) == [1, 3]
+
+
+def test_hybrid_sweep_matches_serial(tmp_path, rng):
+    """alpha×data_loss grid: hybrid (vmap-within-static-groups) rows equal
+    the fully serial sweep rows in the reference's cartesian order."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.ops import conv as C
+    from nsol_tpu.solvers.wrappers import TikhonovLinearSolver
+    from nsol_tpu.study import TikhonovLinearSolverParameterStudy
+
+    shape = (12, 12)
+    cov = np.diag([0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    b = ndi.convolve(np.random.RandomState(3).rand(*shape), kern,
+                     mode="wrap")
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda z: z
+    grad_j, grad_adj_j = G.make_gradient_operators()
+    bj = jnp.asarray(b)
+    params = {"alpha": [0.01, 0.05, 0.2], "data_loss": ["linear", "arctan"]}
+
+    outs = {}
+    for mode, use_vmap in [("serial", False), ("hybrid", True)]:
+        solver = TikhonovLinearSolver(
+            A=Aj, A_adj=Aj_adj, b=b, B=ident, B_adj=ident,
+            x0=np.array(b), iter_max=5, minimizer="L-BFGS-B")
+        obs = Observer()
+        obs.set_measures(_measures(grad_j, bj))
+        out = str(tmp_path / mode)
+        study = TikhonovLinearSolverParameterStudy(
+            solver=solver, observer=obs, dir_output=out, name="tik",
+            parameters=params, use_vmap=use_vmap)
+        study.run()
+        outs[mode] = out
+
+    rs = ReaderParameterStudy(directory=outs["serial"], name="tik")
+    rs.read_study()
+    rh = ReaderParameterStudy(directory=outs["hybrid"], name="tik")
+    rh.read_study()
+    assert rs.get_parameters_to_line() == rh.get_parameters_to_line()
+    for m in ["Data", "Reg"]:
+        np.testing.assert_allclose(rs.get_results(m), rh.get_results(m),
+                                   rtol=1e-8)
