@@ -41,17 +41,18 @@ def main():
         pass
 
     import jax.numpy as jnp
+    import scipy.ndimage as ndi
 
     from nsol_tpu.io import read_nifti
     from nsol_tpu.ops import conv as C
     from nsol_tpu.ops import grad as G
-        from nsol_tpu.solvers.admm import admm_solve
-
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.solvers.admm import admm_solve
     from nsol_tpu.jitutil import jit_closed
 
     img = read_nifti("/root/reference/data/3D_SheppLoganPhantom_64.nii.gz")
     dtype = np.float32
-    x_true = img.data.astype(dtype)
+    x_true = img.data.astype(np.float64)
     shape = x_true.shape
 
     cov = np.diag([SIGMA ** 2] * 3)
@@ -67,9 +68,12 @@ def main():
     nB = MM.matmul_gradient_normal_fn(shape, dtype=dtype)
     Bg, Bg_adj = G.make_gradient_operators()
 
-    xj = jnp.asarray(x_true)
-    b = jit_closed(A, (xj,))(xj)
-    b.block_until_ready()
+    # Build b host-side (scipy) so bench compiles exactly ONE TPU program
+    # (the axon remote compiler intermittently stalls for minutes per
+    # program; fewer programs = robust bench wall-time).
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    b_np = ndi.convolve(x_true, kern, mode="wrap")
+    b = jnp.asarray(b_np.astype(dtype))
 
     b_reg = jnp.zeros((3,) + shape, dtype)
     alpha = jnp.asarray(ALPHA, dtype)
@@ -99,14 +103,16 @@ def main():
     iters_per_sec = ITERATIONS / elapsed
     x, _ = solve(b, b_reg, b, alpha, rho)
 
-    # converged objective for the parity record (stderr, not the JSON line)
-    def _objective(x, b):
-        r = A(x) - b
-        g = Bg(x)
-        return (0.5 * jnp.sum(r * r)
-                + ALPHA * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0))))
-
-    objective = float(jit_closed(_objective, (x, b))(x, b))
+    # converged objective for the parity record (stderr, not the JSON
+    # line) — computed host-side to avoid a second TPU compile
+    xv = np.asarray(x, dtype=np.float64)
+    r = ndi.convolve(xv, kern, mode="wrap") - b_np
+    gx = np.stack([np.diff(np.concatenate(
+        [xv, np.zeros_like(xv[..., :1] if ax == 2 else
+                           (xv[:, :1] if ax == 1 else xv[:1]))],
+        axis=ax), axis=ax) for ax in (2, 1, 0)])
+    objective = float(0.5 * np.sum(r ** 2)
+                      + ALPHA * np.sum(np.sqrt(np.sum(gx ** 2, axis=0))))
     print("objective=%.2f (reference-equivalent CPU: %.2f), elapsed=%.3fs"
           % (objective, BASELINE_OBJECTIVE, elapsed), file=sys.stderr)
 
