@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from nsol_tpu.parallel import halo
+from nsol_tpu.parallel import matmul_halo
 from nsol_tpu.jitutil import jit_closed
 from nsol_tpu.solvers import admm as _admm
 from nsol_tpu.solvers import primal_dual as _pd
@@ -37,14 +38,25 @@ def make_space_mesh(n=None):
 
 def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
                           iterations=10, iter_max=10, alpha_cut=3,
-                          data_loss="linear", data_loss_scale=1.0):
+                          data_loss="linear", data_loss_scale=1.0,
+                          minimizer=None):
     """TV-L2/robust deconvolution of a volume sharded along array axis 0.
 
-    The full ADMM loop (outer splitting + inner CGLS) runs inside one
+    The full ADMM loop (outer splitting + inner Krylov solve) runs inside one
     ``shard_map``: stencils halo-exchange over the ``"space"`` axis and all
     CG inner products / TV magnitudes psum-reduce over it — the TPU-native
     answer to BASELINE config 5 ("sharded 512³ TV-deconvolution with
     psum-reduced CG").
+
+    ``minimizer=None`` auto-selects: with a linear data loss and a separable
+    (diagonal-covariance) blur the inner solve runs ``"cg"`` on the fused
+    normal equations with the sharded **MXU** operators of
+    :mod:`nsol_tpu.parallel.matmul_halo` (same optimization ladder as the
+    single-chip path: AᵀA as one self-correlated separable pass, DᵀD as
+    banded/tridiagonal matmuls); a non-separable blur falls back to
+    augmented CGLS over the direct-conv halo stencils; a robust (non-linear)
+    ``data_loss`` routes to the shard-aware box L-BFGS (psum-reduced global
+    cost and curvature inner products — every rank takes identical steps).
 
     ``b``/``x0`` are global (z, y, x) arrays (host or device); returns the
     assembled global solution.
@@ -55,9 +67,44 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
         raise ValueError("leading axis %d not divisible by %d shards"
                          % (b.shape[0], n_shards))
 
-    A, A_adj = halo.make_sharded_blur_operators(
-        cov, alpha_cut=alpha_cut, spacing=spacing, axis_name=axis_name,
-        n_shards=n_shards, dtype=b.dtype)
+    normal_A = normal_B = None
+    if minimizer is None or minimizer == "cg":
+        from nsol_tpu.ops.conv import separable_factors
+        from nsol_tpu.ops.kernels import gaussian_kernel
+
+        kernel64 = gaussian_kernel(cov, alpha_cut=alpha_cut,
+                                   spacing=spacing, dtype=np.float64)
+        separable = separable_factors(kernel64) is not None
+        if minimizer == "cg" and (data_loss != "linear" or not separable):
+            raise ValueError("minimizer='cg' requires a linear data loss "
+                             "and a separable (diagonal-covariance) blur")
+        if data_loss == "linear" and separable:
+            minimizer = "cg"
+        elif data_loss == "linear":
+            minimizer = "lsmr"
+        else:
+            # Robust data loss: the reference's inner escape hatch is
+            # L-BFGS(-B) (nsol/tikhonov_linear_solver.py:197-220); here it is
+            # the shard-aware box L-BFGS (psum-reduced cost + curvature).
+            minimizer = "L-BFGS-B"
+
+    if minimizer == "cg":
+        local_shape = (b.shape[0] // n_shards,) + tuple(b.shape[1:])
+        A, A_adj = matmul_halo.make_sharded_matmul_blur_operators(
+            cov, alpha_cut=alpha_cut, spacing=spacing,
+            local_shape=local_shape, axis_name=axis_name,
+            n_shards=n_shards, dtype=b.dtype)
+        normal_A = matmul_halo.make_sharded_matmul_normal_blur_operator(
+            cov, alpha_cut=alpha_cut, spacing=spacing,
+            local_shape=local_shape, axis_name=axis_name,
+            n_shards=n_shards, dtype=b.dtype)
+        normal_B = matmul_halo.make_sharded_matmul_gradient_normal(
+            local_shape, spacing=spacing, axis_name=axis_name,
+            n_shards=n_shards, dtype=b.dtype)
+    else:
+        A, A_adj = halo.make_sharded_blur_operators(
+            cov, alpha_cut=alpha_cut, spacing=spacing, axis_name=axis_name,
+            n_shards=n_shards, dtype=b.dtype)
     Bg, Bg_adj = halo.make_sharded_gradient_operators(
         spacing, axis_name=axis_name, n_shards=n_shards)
 
@@ -65,8 +112,8 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
         x, _ = _admm.admm_solve(
             A, A_adj, Bg, Bg_adj, b_loc, 0.0, x0_loc, alpha_v, rho_v,
             iterations=iterations, iter_max=iter_max, data_loss=data_loss,
-            data_loss_scale=data_loss_scale, minimizer="lsmr",
-            axis_name=axis_name)
+            data_loss_scale=data_loss_scale, minimizer=minimizer,
+            axis_name=axis_name, normal_A=normal_A, normal_B=normal_B)
         return x
 
     mapped = jax.shard_map(

@@ -22,7 +22,8 @@ def _project(x, lower, upper):
 
 
 def lbfgs_box(cost_fn, x0, lower=-jnp.inf, upper=jnp.inf, iters=50,
-              history=10, max_backtracks=25, armijo_c=1e-4, tol=0.0):
+              history=10, max_backtracks=25, armijo_c=1e-4, tol=0.0,
+              axis_name=None):
     """Minimize ``cost_fn`` over the box ``[lower, upper]``.
 
     Parameters
@@ -32,7 +33,18 @@ def lbfgs_box(cost_fn, x0, lower=-jnp.inf, upper=jnp.inf, iters=50,
          reference's x0 clipping at nsol/tikhonov_linear_solver.py:142-143)
     iters : static int, number of outer iterations
     history : static int, L-BFGS memory size
+    axis_name : optional mesh axis for a *sharded* minimization inside
+         ``shard_map``: ``x0`` is the local block of the global unknown,
+         ``cost_fn`` must already return the psum-reduced global cost, and
+         every curvature/line-search inner product here is psum-reduced so
+         all ranks take identical steps — a distributed L-BFGS whose iterates
+         are exact shards of the single-device trajectory.
     """
+    if axis_name is None:
+        _dot = lambda a, b: jnp.sum(a * b)
+    else:
+        _dot = lambda a, b: lax.psum(jnp.sum(a * b), axis_name)
+
     x0 = _project(x0, lower, upper)
     value_and_grad = jax.value_and_grad(cost_fn)
     f0, g0 = value_and_grad(x0)
@@ -41,6 +53,11 @@ def lbfgs_box(cost_fn, x0, lower=-jnp.inf, upper=jnp.inf, iters=50,
     dtype = x0.dtype
     S = jnp.zeros((history,) + x0.shape, dtype)
     Y = jnp.zeros((history,) + x0.shape, dtype)
+    if axis_name is not None:
+        # Inside shard_map the history buffers are updated from the sharded
+        # iterate and must carry its varying-manual-axis type from the start.
+        S = lax.pcast(S, (axis_name,), to="varying")
+        Y = lax.pcast(Y, (axis_name,), to="varying")
     rho = jnp.zeros((history,), dtype)
 
     def two_loop(g, S, Y, rho, gamma):
@@ -48,7 +65,7 @@ def lbfgs_box(cost_fn, x0, lower=-jnp.inf, upper=jnp.inf, iters=50,
         def first(carry, i):
             q, alphas = carry
             valid = rho[i] > 0
-            a = jnp.where(valid, rho[i] * jnp.sum(S[i] * q), 0.0)
+            a = jnp.where(valid, rho[i] * _dot(S[i], q), 0.0)
             q = q - a * Y[i]
             return (q, alphas.at[i].set(a)), None
 
@@ -59,7 +76,7 @@ def lbfgs_box(cost_fn, x0, lower=-jnp.inf, upper=jnp.inf, iters=50,
 
         def second(r, i):
             valid = rho[i] > 0
-            b = jnp.where(valid, rho[i] * jnp.sum(Y[i] * r), 0.0)
+            b = jnp.where(valid, rho[i] * _dot(Y[i], r), 0.0)
             r = r + (alphas[i] - b) * S[i]
             return r, None
 
@@ -71,9 +88,9 @@ def lbfgs_box(cost_fn, x0, lower=-jnp.inf, upper=jnp.inf, iters=50,
 
         d = -two_loop(g, S, Y, rho, gamma)
         # Safeguard: fall back to steepest descent if not a descent direction.
-        gTd = jnp.sum(g * d)
+        gTd = _dot(g, d)
         d = jnp.where(gTd < 0, d, -g)
-        gTd = jnp.minimum(gTd, -jnp.sum(g * g))
+        gTd = jnp.minimum(gTd, -_dot(g, g))
 
         # Projected Armijo backtracking: x(t) = P(x + t d).
         def ls_cond(state):
@@ -81,7 +98,7 @@ def lbfgs_box(cost_fn, x0, lower=-jnp.inf, upper=jnp.inf, iters=50,
             # Armijo on the projected step: f(x_t) <= f + c * g·(x_t - x)
             return jnp.logical_and(
                 it < max_backtracks,
-                fx > f + armijo_c * jnp.sum(g * (xt - x)))
+                fx > f + armijo_c * _dot(g, xt - x))
 
         def ls_body(state):
             t, _, _, it = state
@@ -104,14 +121,14 @@ def lbfgs_box(cost_fn, x0, lower=-jnp.inf, upper=jnp.inf, iters=50,
 
         s = x_new - x
         y = g_new - g
-        sy = jnp.sum(s * y)
+        sy = _dot(s, y)
         slot = k % history
         good = sy > 1e-10
         S = S.at[slot].set(jnp.where(good, s, jnp.zeros_like(s)))
         Y = Y.at[slot].set(jnp.where(good, y, jnp.zeros_like(y)))
         rho = rho.at[slot].set(jnp.where(good, 1.0 / jnp.where(good, sy, 1.0),
                                          0.0))
-        yy = jnp.sum(y * y)
+        yy = _dot(y, y)
         gamma = jnp.where(good, sy / jnp.where(yy > 0, yy, 1.0), gamma)
 
         return (x_new, f_new, g_new, S, Y, rho, gamma), f_new

@@ -141,6 +141,12 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
             body, (x0, x0, jnp.asarray(1.0, dtype)), None, length=iter_max)
         return x
 
+    # Sharded L-BFGS: the cost must be the psum-reduced GLOBAL scalar so
+    # every rank's line search takes identical steps (lbfgs_box psum-reduces
+    # its own curvature inner products given the same axis_name).
+    _reduce = ((lambda c: c) if axis_name is None
+               else (lambda c: lax.psum(c, axis_name)))
+
     if minimizer == "least_squares":
         # Robust loss over the full augmented residual (reference :174-194).
         def cost(x):
@@ -149,11 +155,12 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
             c = lf.cost_from_residual(r_data, data_loss, data_loss_scale)
             c += lf.cost_from_residual(
                 r_reg.reshape(-1), data_loss, data_loss_scale)
-            return c
+            return _reduce(c)
 
         lo = -jnp.inf if bounds is None else bounds[0]
         hi = jnp.inf if bounds is None else bounds[1]
-        return lbfgs_box(cost, x0, lower=lo, upper=hi, iters=iter_max)
+        return lbfgs_box(cost, x0, lower=lo, upper=hi, iters=iter_max,
+                         axis_name=axis_name)
 
     # Generic smooth path (reference's scipy.optimize.minimize branch,
     # :197-220): analytic cost with the b_reg-ignoring regularizer quirk.
@@ -161,11 +168,13 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
         r = A(x) - b
         c = lf.cost_from_residual(r, data_loss, data_loss_scale)
         Bx = B(x)
-        return c + jnp.asarray(alpha, dtype) * 0.5 * jnp.sum(Bx * Bx)
+        c = c + jnp.asarray(alpha, dtype) * 0.5 * jnp.sum(Bx * Bx)
+        return _reduce(c)
 
     lo = -jnp.inf if bounds is None else bounds[0]
     hi = jnp.inf if bounds is None else bounds[1]
-    return lbfgs_box(cost, x0, lower=lo, upper=hi, iters=iter_max)
+    return lbfgs_box(cost, x0, lower=lo, upper=hi, iters=iter_max,
+                     axis_name=axis_name)
 
 
 def prox_linear_least_squares(x, tau, A, A_adj, b, x0,

@@ -21,6 +21,9 @@ from nsol_tpu.ops import kernels as K
 from nsol_tpu.parallel import (
     make_mesh, make_sharded_gradient_operators,
     make_sharded_blur_operators, sharded_tv_admm_solve,
+    make_sharded_matmul_blur_operators,
+    make_sharded_matmul_normal_blur_operator,
+    make_sharded_matmul_gradient_normal,
 )
 from nsol_tpu.solvers.cg import tree_vdot
 from nsol_tpu.solvers.admm import admm_solve
@@ -85,6 +88,68 @@ def test_sharded_blur_matches_local_wrap(mesh, ndim, rng):
     np.testing.assert_array_almost_equal(ours, ref, decimal=12)
 
 
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_sharded_matmul_blur_matches_local_wrap(mesh, ndim, rng):
+    """MXU sharded blur (ring halo + band/circulant matmuls) equals the
+    single-device wrap convolution."""
+    shape = (16, 24) if ndim == 2 else (16, 12, 10)
+    cov = np.diag([1.5, 1.0, 0.8][:ndim]) ** 2
+    x = rng.rand(*shape)
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(ndim))
+    local_shape = (shape[0] // N_DEV,) + shape[1:]
+
+    A_s, _ = make_sharded_matmul_blur_operators(
+        cov, alpha_cut=3, spacing=np.ones(ndim), local_shape=local_shape,
+        axis_name="space", n_shards=N_DEV, dtype=x.dtype)
+    f = jax.jit(jax.shard_map(
+        A_s, mesh=mesh, in_specs=P("space"), out_specs=P("space")))
+    ours = np.asarray(f(jnp.asarray(x)))
+    ref = np.asarray(C.convolve(jnp.asarray(x), kern, mode="wrap"))
+    np.testing.assert_array_almost_equal(ours, ref, decimal=12)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_sharded_matmul_normal_blur_matches_local(mesh, ndim, rng):
+    """Sharded AᵀA (self-correlated separable pass on the MXU) equals the
+    single-device fused normal operator."""
+    shape = (16, 24) if ndim == 2 else (16, 12, 10)
+    cov = np.diag([1.5, 1.0, 0.8][:ndim]) ** 2
+    x = rng.rand(*shape)
+    local_shape = (shape[0] // N_DEV,) + shape[1:]
+
+    nA_s = make_sharded_matmul_normal_blur_operator(
+        cov, alpha_cut=3, spacing=np.ones(ndim), local_shape=local_shape,
+        axis_name="space", n_shards=N_DEV, dtype=x.dtype)
+    f = jax.jit(jax.shard_map(
+        nA_s, mesh=mesh, in_specs=P("space"), out_specs=P("space")))
+    ours = np.asarray(f(jnp.asarray(x)))
+
+    nA = C.make_normal_blur_operator(cov, alpha_cut=3,
+                                     spacing=np.ones(ndim), shape=shape)
+    ref = np.asarray(jax.jit(nA)(jnp.asarray(x)))
+    np.testing.assert_array_almost_equal(ours, ref, decimal=12)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_sharded_matmul_gradient_normal_matches_local(mesh, ndim, rng):
+    """Sharded DᵀD (band matmul + rank-0 boundary fixup) equals the fused
+    single-device Laplacian, including the forward-difference boundary rows
+    and anisotropic spacing."""
+    shape = (16, 24) if ndim == 2 else (16, 12, 10)
+    spacing = [1.5, 0.8, 1.1][:ndim]
+    x = rng.rand(*shape)
+    local_shape = (shape[0] // N_DEV,) + shape[1:]
+
+    nB_s = make_sharded_matmul_gradient_normal(
+        local_shape, spacing=spacing, axis_name="space", n_shards=N_DEV,
+        dtype=x.dtype)
+    f = jax.jit(jax.shard_map(
+        nB_s, mesh=mesh, in_specs=P("space"), out_specs=P("space")))
+    ours = np.asarray(f(jnp.asarray(x)))
+    ref = np.asarray(G.gradient_normal(jnp.asarray(x), spacing))
+    np.testing.assert_array_almost_equal(ours, ref, decimal=12)
+
+
 def test_sharded_adjointness_with_psum(mesh, rng):
     """<Ax,y> == <x,Aᵀy> where the inner products themselves are computed
     distributed (psum over the mesh axis)."""
@@ -108,9 +173,12 @@ def test_sharded_adjointness_with_psum(mesh, rng):
     np.testing.assert_almost_equal(float(lhs), float(rhs), decimal=10)
 
 
-def test_sharded_tv_admm_matches_single_device(mesh, rng):
-    """End-to-end: the full sharded ADMM (halo stencils + psum-CG) equals
-    the single-device solve on the assembled volume."""
+@pytest.mark.parametrize("minimizer", ["lsmr", "cg"])
+def test_sharded_tv_admm_matches_single_device(mesh, minimizer, rng):
+    """End-to-end: the full sharded ADMM (halo stencils + psum-reduced
+    Krylov inner solve) equals the single-device solve on the assembled
+    volume — for both the augmented-CGLS path and the fused
+    normal-equation MXU path (the auto-selected default)."""
     shape = (16, 12, 10)
     cov = np.diag([0.8, 0.8, 0.8]) ** 2
     kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
@@ -121,17 +189,56 @@ def test_sharded_tv_admm_matches_single_device(mesh, rng):
     alpha, rho = 0.01, 0.5
 
     x_sharded = np.asarray(sharded_tv_admm_solve(
-        mesh, cov, b, np.array(b), alpha, rho, iterations=5, iter_max=5))
+        mesh, cov, b, np.array(b), alpha, rho, iterations=5, iter_max=5,
+        minimizer=minimizer))
 
-    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
-                                     method="fft")
+    if minimizer == "cg":
+        A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                         method="matmul", dtype=b.dtype)
+        normal_A = C.make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                               dtype=b.dtype)
+        normal_B = G.gradient_normal
+    else:
+        A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                         method="fft")
+        normal_A = normal_B = None
     Bg, Bg_adj = G.make_gradient_operators()
     x_single, _ = jax.jit(partial(
-        admm_solve, A, A_adj, Bg, Bg_adj, iterations=5, iter_max=5))(
+        admm_solve, A, A_adj, Bg, Bg_adj, iterations=5, iter_max=5,
+        minimizer=minimizer, normal_A=normal_A, normal_B=normal_B))(
         jnp.asarray(b), 0.0, jnp.asarray(b), alpha, rho)
 
     np.testing.assert_allclose(x_sharded, np.asarray(x_single),
                                atol=1e-9)
+
+
+def test_sharded_robust_admm_matches_single_device(mesh, rng):
+    """Robust (huber) data loss under sharding: the inner solve routes to
+    the shard-aware box L-BFGS (psum-reduced global cost + curvature inner
+    products), whose iterates are exact shards of the single-device
+    trajectory."""
+    shape = (16, 12, 10)
+    cov = np.diag([0.8, 0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    import scipy.ndimage as ndi
+
+    x_true = rng.rand(*shape)
+    b = ndi.convolve(x_true, kern, mode="wrap")
+    alpha, rho = 0.01, 0.5
+
+    x_sharded = np.asarray(sharded_tv_admm_solve(
+        mesh, cov, b, np.array(b), alpha, rho, iterations=3, iter_max=5,
+        data_loss="huber", data_loss_scale=0.5))
+
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="direct")
+    Bg, Bg_adj = G.make_gradient_operators()
+    x_single, _ = jax.jit(partial(
+        admm_solve, A, A_adj, Bg, Bg_adj, iterations=3, iter_max=5,
+        data_loss="huber", data_loss_scale=0.5, minimizer="L-BFGS-B"))(
+        jnp.asarray(b), 0.0, jnp.asarray(b), alpha, rho)
+
+    np.testing.assert_allclose(x_sharded, np.asarray(x_single), atol=1e-8)
 
 
 @pytest.mark.parametrize("variant", ["TVL2", "HuberL1"])
