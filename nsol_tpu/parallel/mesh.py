@@ -54,8 +54,12 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
     :mod:`nsol_tpu.parallel.matmul_halo` (same optimization ladder as the
     single-chip path: AᵀA as one self-correlated separable pass, DᵀD as
     banded/tridiagonal matmuls); a non-separable blur falls back to
-    augmented CGLS over the direct-conv halo stencils; a robust (non-linear)
-    ``data_loss`` routes to the shard-aware box L-BFGS (psum-reduced global
+    augmented CGLS over the direct-conv halo stencils. A robust (non-linear)
+    ``data_loss`` with a separable blur routes to shard-aware **IRLS**
+    (reweighted normal-equation CG on the sharded MXU operators, psum-reduced
+    inner products — see ``minimizer="irls"`` in
+    :func:`nsol_tpu.solvers.tikhonov.tikhonov_solve`); a non-separable robust
+    problem falls back to the shard-aware box L-BFGS (psum-reduced global
     cost and curvature inner products — every rank takes identical steps).
 
     ``b``/``x0`` are global (z, y, x) arrays (host or device); returns the
@@ -67,14 +71,15 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
         raise ValueError("leading axis %d not divisible by %d shards"
                          % (b.shape[0], n_shards))
 
+    from nsol_tpu.ops.conv import separable_factors
+    from nsol_tpu.ops.kernels import gaussian_kernel
+
+    kernel64 = gaussian_kernel(cov, alpha_cut=alpha_cut,
+                               spacing=spacing, dtype=np.float64)
+    separable = separable_factors(kernel64) is not None
+
     normal_A = normal_B = None
     if minimizer is None or minimizer == "cg":
-        from nsol_tpu.ops.conv import separable_factors
-        from nsol_tpu.ops.kernels import gaussian_kernel
-
-        kernel64 = gaussian_kernel(cov, alpha_cut=alpha_cut,
-                                   spacing=spacing, dtype=np.float64)
-        separable = separable_factors(kernel64) is not None
         if minimizer == "cg" and (data_loss != "linear" or not separable):
             raise ValueError("minimizer='cg' requires a linear data loss "
                              "and a separable (diagonal-covariance) blur")
@@ -82,13 +87,18 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
             minimizer = "cg"
         elif data_loss == "linear":
             minimizer = "lsmr"
+        elif separable:
+            # Robust data loss, separable blur: MM reweighted CG on the
+            # sharded MXU operators — the documented improvement over the
+            # reference's scipy L-BFGS-B escape hatch
+            # (nsol/tikhonov_linear_solver.py:197-220).
+            minimizer = "irls"
         else:
-            # Robust data loss: the reference's inner escape hatch is
-            # L-BFGS(-B) (nsol/tikhonov_linear_solver.py:197-220); here it is
-            # the shard-aware box L-BFGS (psum-reduced cost + curvature).
+            # Robust + non-separable: shard-aware box L-BFGS (psum-reduced
+            # cost + curvature).
             minimizer = "L-BFGS-B"
 
-    if minimizer == "cg":
+    if minimizer in ("cg", "irls") and separable:
         local_shape = (b.shape[0] // n_shards,) + tuple(b.shape[1:])
         A, A_adj = matmul_halo.make_sharded_matmul_blur_operators(
             cov, alpha_cut=alpha_cut, spacing=spacing,

@@ -15,6 +15,17 @@ Minimizer dispatch mirrors the reference's (:120-220):
 * ``"least_squares"`` → robust loss applied to the WHOLE augmented residual
   (matching the scipy.least_squares semantics noted at :174-194), minimized
   by the jittable box L-BFGS.
+* ``"irls"`` → iteratively reweighted least squares on the SAME cost as the
+  minimize path (``½‖ρ((Ax−b)²)‖ + α·½‖Bx‖²``, b_reg-ignoring quirk
+  included): every reference loss ρ is concave in t = r², so the tangent
+  majorizer ``½ Σ ρ'(r_k²)·r² + α·½‖Bx‖²`` is a valid MM surrogate whose
+  minimizer solves the weighted normal equations — a handful of CG
+  iterations on the MXU instead of a line-searched quasi-Newton. Documented
+  improvement over the reference's scipy L-BFGS-B escape hatch; same
+  stationary points (the IRLS fixed-point condition IS ∇cost = 0 on the
+  free variables), box bounds handled projected-Newton style: active
+  coordinates are frozen out of each CG solve and the stepped point is
+  projected back onto the box.
 * anything else (e.g. ``"L-BFGS-B"``) → box L-BFGS on the analytic cost
   ``½‖ρ((Ax−b)²)‖ + α·½‖Bx‖²``. NOTE the reference's cost/gradient for this
   path ignore ``b_reg`` (nsol/tikhonov_linear_solver.py:276-280) — a quirk
@@ -62,7 +73,8 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
                    data_loss="linear", data_loss_scale=1.0,
                    minimizer="lsmr", iter_max=10,
                    bounds=(0.0, np.inf), axis_name=None,
-                   normal_A=None, normal_B=None, At_b=None):
+                   normal_A=None, normal_B=None, At_b=None,
+                   irls_cg_iters=8):
     """Return the minimizer estimate. Pure function; callers jit.
 
     ``A/A_adj`` map the solution space to data space; ``B/B_adj`` to the
@@ -139,6 +151,49 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
 
         (x, _, _), _ = lax.scan(
             body, (x0, x0, jnp.asarray(1.0, dtype)), None, length=iter_max)
+        return x
+
+    if minimizer == "irls":
+        # MM / reweighted least squares for the robust losses, in projected-
+        # Newton form. Each outer sweep freezes the weights w = ρ'(r²) at the
+        # current iterate, identifies the active box constraints (at a bound
+        # with the gradient pushing outward), and CG-solves the weighted
+        # normal equations ``(AᵀWA + αBᵀB) v = −∇cost`` for a *delta*
+        # restricted to the free variables, then projects ``x + v``. The
+        # restriction is what makes the fixed point the box-CONSTRAINED
+        # stationary point (a plain solve + post-hoc clip converges to a
+        # measurably worse objective when bounds are active). Every operator
+        # application rides the MXU matmul path when A/normal_B do. Works
+        # under shard_map too: weights and masks are elementwise-local, CG
+        # inner products psum over ``axis_name``.
+        alpha_t = jnp.asarray(alpha, dtype)
+        nB = normal_B if normal_B is not None else (lambda v: B_adj(B(v)))
+        grad_rho = lf.gradient_loss(data_loss)
+
+        def sweep(x, _):
+            r = A(x) - b
+            wts = grad_rho(r * r, f_scale=data_loss_scale)
+            # ∇cost = Aᵀ(ρ'(r²)·r) + α BᵀBx — the majorizer's gradient
+            # coincides with it at the expansion point.
+            g = A_adj(wts * r) + alpha_t * nB(x)
+            if bounds is None:
+                free = jnp.ones_like(x)
+            else:
+                active = jnp.logical_or(
+                    jnp.logical_and(x <= bounds[0], g > 0),
+                    jnp.logical_and(x >= bounds[1], g < 0))
+                free = jnp.where(active, 0.0, 1.0).astype(dtype)
+
+            def apply_M(v):
+                vf = free * v
+                return free * (A_adj(wts * A(vf)) + alpha_t * nB(vf)) \
+                    + (v - vf)
+
+            v = cg(apply_M, -free * g, jnp.zeros_like(x),
+                   iters=irls_cg_iters, axis_name=axis_name)
+            return _clip_bounds(x + v, bounds), None
+
+        x, _ = lax.scan(sweep, x0, None, length=iter_max)
         return x
 
     # Sharded L-BFGS: the cost must be the psum-reduced GLOBAL scalar so

@@ -213,8 +213,8 @@ def test_sharded_tv_admm_matches_single_device(mesh, minimizer, rng):
 
 
 def test_sharded_robust_admm_matches_single_device(mesh, rng):
-    """Robust (huber) data loss under sharding: the inner solve routes to
-    the shard-aware box L-BFGS (psum-reduced global cost + curvature inner
+    """Robust (huber) data loss under sharding with the explicit
+    shard-aware box L-BFGS (psum-reduced global cost + curvature inner
     products), whose iterates are exact shards of the single-device
     trajectory."""
     shape = (16, 12, 10)
@@ -228,7 +228,7 @@ def test_sharded_robust_admm_matches_single_device(mesh, rng):
 
     x_sharded = np.asarray(sharded_tv_admm_solve(
         mesh, cov, b, np.array(b), alpha, rho, iterations=3, iter_max=5,
-        data_loss="huber", data_loss_scale=0.5))
+        data_loss="huber", data_loss_scale=0.5, minimizer="L-BFGS-B"))
 
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
                                      method="direct")
@@ -236,6 +236,37 @@ def test_sharded_robust_admm_matches_single_device(mesh, rng):
     x_single, _ = jax.jit(partial(
         admm_solve, A, A_adj, Bg, Bg_adj, iterations=3, iter_max=5,
         data_loss="huber", data_loss_scale=0.5, minimizer="L-BFGS-B"))(
+        jnp.asarray(b), 0.0, jnp.asarray(b), alpha, rho)
+
+    np.testing.assert_allclose(x_sharded, np.asarray(x_single), atol=1e-8)
+
+
+def test_sharded_robust_admm_autoselects_irls(mesh, rng):
+    """Robust loss + separable blur auto-selects shard-aware IRLS
+    (reweighted normal-equation CG on the sharded MXU operators); the
+    sharded solve equals the single-device IRLS trajectory."""
+    shape = (16, 12, 10)
+    cov = np.diag([0.8, 0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    import scipy.ndimage as ndi
+
+    x_true = rng.rand(*shape)
+    b = ndi.convolve(x_true, kern, mode="wrap")
+    alpha, rho = 0.01, 0.5
+
+    x_sharded = np.asarray(sharded_tv_admm_solve(
+        mesh, cov, b, np.array(b), alpha, rho, iterations=3, iter_max=4,
+        data_loss="huber", data_loss_scale=0.5))
+
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="matmul", dtype=b.dtype)
+    from nsol_tpu.ops.matmul_ops import matmul_gradient_normal_fn
+    normal_B = matmul_gradient_normal_fn(shape, dtype=b.dtype)
+    Bg, Bg_adj = G.make_gradient_operators()
+    x_single, _ = jax.jit(partial(
+        admm_solve, A, A_adj, Bg, Bg_adj, iterations=3, iter_max=4,
+        data_loss="huber", data_loss_scale=0.5, minimizer="irls",
+        normal_B=normal_B))(
         jnp.asarray(b), 0.0, jnp.asarray(b), alpha, rho)
 
     np.testing.assert_allclose(x_sharded, np.asarray(x_single), atol=1e-8)

@@ -22,6 +22,7 @@ from nsol_tpu.ops import prox as prox_ops
 from nsol_tpu.ops import kernels as K
 from nsol_tpu.ops import conv as C
 from nsol_tpu.ops import losses as lf
+from nsol_tpu.solvers.admm import admm_solve
 from nsol_tpu.solvers.cg import cgls
 from nsol_tpu.solvers.tikhonov import tikhonov_solve
 from nsol_tpu.solvers.wrappers import (
@@ -205,6 +206,114 @@ def test_tikhonov_lbfgs_path_vs_scipy(rng):
     ours_cost = cost_np(x_ours.reshape(-1))
     # Converged-objective parity within 1% (BASELINE.md criterion)
     assert ours_cost <= res.fun * 1.01
+
+
+def test_tikhonov_irls_path_vs_scipy(rng):
+    """IRLS minimizer reaches the L-BFGS-B objective on the robust cost.
+
+    ``minimizer="irls"`` is the documented MM improvement over the
+    reference's scipy escape hatch: same cost (the b_reg-ignoring quirk
+    included), so the converged objectives must agree.
+    """
+    shape = (16, 18)
+    cov = np.diag([1.0, 1.0]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    x_true = rng.rand(*shape)
+    b = ndi.convolve(x_true, kern, mode="wrap") + 0.05 * rng.randn(*shape)
+    alpha, scale = 0.05, 0.7
+
+    def cost_np(v):
+        x = v.reshape(shape)
+        r = (ndi.convolve(x, kern, mode="wrap") - b).reshape(-1)
+        c = 0.5 * np.sum(np.asarray(
+            lf.huber(jnp.asarray(r ** 2), f_scale=scale)))
+        return c + alpha * 0.5 * np.sum(x ** 2)
+
+    def grad_np(v):
+        x = v.reshape(shape)
+        r = ndi.convolve(x, kern, mode="wrap") - b
+        w = np.asarray(lf.gradient_huber(
+            jnp.asarray(r ** 2), f_scale=scale)) * r
+        g = ndi.convolve(w, kern, mode="wrap") + alpha * x
+        return g.reshape(-1)
+
+    res = scipy.optimize.minimize(
+        cost_np, np.zeros(shape[0] * shape[1]), jac=grad_np,
+        method="L-BFGS-B", bounds=[(0, np.inf)] * b.size,
+        options={"maxiter": 200})
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda z: z
+    x_ours = np.asarray(tikhonov_solve(
+        Aj, Aj_adj, ident, ident, jnp.asarray(b), 0.0, jnp.zeros(shape),
+        alpha, data_loss="huber", data_loss_scale=scale,
+        minimizer="irls", iter_max=10, irls_cg_iters=10))
+
+    assert cost_np(x_ours.reshape(-1)) <= res.fun * 1.01
+
+
+def test_tikhonov_irls_monotone_descent(rng):
+    """Each IRLS sweep decreases the robust cost (MM guarantee)."""
+    shape = (16, 16)
+    cov = np.diag([1.0, 1.0]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    b = ndi.convolve(rng.rand(*shape), kern, mode="wrap") \
+        + 0.05 * rng.randn(*shape)
+    alpha, scale = 0.05, 0.5
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda z: z
+
+    def cost_np(x):
+        r = (ndi.convolve(np.asarray(x), kern, mode="wrap") - b).reshape(-1)
+        c = 0.5 * np.sum(np.asarray(
+            lf.cauchy(jnp.asarray(r ** 2), f_scale=scale)))
+        return c + alpha * 0.5 * np.sum(np.asarray(x) ** 2)
+
+    costs = []
+    x = jnp.zeros(shape)
+    for _ in range(6):
+        x = tikhonov_solve(
+            Aj, Aj_adj, ident, ident, jnp.asarray(b), 0.0, x, alpha,
+            data_loss="cauchy", data_loss_scale=scale,
+            minimizer="irls", iter_max=1, irls_cg_iters=12)
+        costs.append(cost_np(x))
+    assert all(c1 <= c0 + 1e-9 for c0, c1 in zip(costs, costs[1:]))
+
+
+def test_admm_irls_matches_lbfgs_objective(rng):
+    """Robust ADMM with IRLS inner solves lands on the same (or better)
+    total objective as the box-L-BFGS inner path."""
+    shape = (24, 24)
+    cov = np.diag([1.0, 1.0]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    x_true = rng.rand(*shape)
+    b = ndi.convolve(x_true, kern, mode="wrap") + 0.05 * rng.randn(*shape)
+    alpha, rho, scale = 0.01, 0.5, 1.0
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    D, D_adj = G.make_gradient_operators(shape)
+
+    def total_objective(x):
+        x = np.asarray(x)
+        r = (ndi.convolve(x, kern, mode="wrap") - b).reshape(-1)
+        data = 0.5 * np.sum(np.asarray(
+            lf.huber(jnp.asarray(r ** 2), f_scale=scale)))
+        g = np.asarray(G.gradient(jnp.asarray(x)))
+        tv = np.sum(np.sqrt(np.sum(g ** 2, axis=0)))
+        return data + alpha * tv
+
+    common = dict(b=jnp.asarray(b), b_reg=0.0, x0=jnp.zeros(shape),
+                  alpha=alpha, rho=rho, iterations=10,
+                  data_loss="huber", data_loss_scale=scale)
+    x_lbfgs, _ = admm_solve(Aj, Aj_adj, D, D_adj, iter_max=20,
+                            minimizer="L-BFGS-B", **common)
+    x_irls, _ = admm_solve(Aj, Aj_adj, D, D_adj, iter_max=5,
+                           minimizer="irls", irls_cg_iters=8, **common)
+    assert total_objective(x_irls) <= total_objective(x_lbfgs) * 1.02
 
 
 # --------------------------------------------------------- primal-dual
