@@ -137,8 +137,11 @@ def config2_lena_robust_deconv():
 
 
 def config2_lena_robust_deconv_irls():
-    return _config2_run("irls", 5, "lena256_huber_admm_irls_10it",
-                        irls_cg_iters=8)
+    # 3 sweeps x 6 CG reaches the same converged objective as the L-BFGS
+    # path (42.45 vs 42.44 on this config — the JSON reports it); measured
+    # 1099 vs 618 outer-it/s (2026-08-19, 1x TPU v5e).
+    return _config2_run("irls", 3, "lena256_huber_admm_irls_10it",
+                        irls_cg_iters=6)
 
 
 def config4_man1024_alpha_sweep():

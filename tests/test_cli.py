@@ -64,6 +64,25 @@ def test_run_deconvolution_2d(tmp_path, rtype):
     assert os.path.isfile(result)
 
 
+def test_run_deconvolution_robust_irls(tmp_path):
+    """Robust (huber) deconvolution through the CLI with the IRLS inner
+    engine (the minimizer string flows through unchanged to
+    tikhonov_solve's dispatch)."""
+    result = str(tmp_path / "out_irls.png")
+    p = _run(["nsol_run_deconvolution.py",
+              "--observation",
+              os.path.join(DATA, "2D_Lena_256_blur_noise.png"),
+              "--reconstruction-type", "TVL2",
+              "--iterations", "3",
+              "--iter-max", "3",
+              "--blur", "1",
+              "--data-loss", "huber",
+              "--minimizer", "irls",
+              "--result", result])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isfile(result)
+
+
 def test_run_denoising_study_and_show(tmp_path):
     out = str(tmp_path / "study")
     p = _run(["nsol_run_denoising_study.py",
