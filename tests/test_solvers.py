@@ -253,6 +253,43 @@ def test_tikhonov_irls_path_vs_scipy(rng):
     assert cost_np(x_ours.reshape(-1)) <= res.fun * 1.01
 
 
+def test_tikhonov_irls_linear_matches_bounded_oracle(rng):
+    """With a linear loss, IRLS degenerates to projected-Newton CG on the
+    quadratic — and honors the box constraints properly (the lsmr path only
+    clips post hoc). Oracle: scipy.optimize.lsq_linear on the augmented
+    system with bounds."""
+    shape = (12, 14)
+    cov = np.diag([1.0, 1.0]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    # Data with a negative bias so the non-negativity bound is active.
+    b = ndi.convolve(rng.rand(*shape) - 0.4, kern, mode="wrap")
+    alpha = 0.05
+    n = b.size
+
+    def A_flat(v):
+        return ndi.convolve(v.reshape(shape), kern, mode="wrap").reshape(-1)
+
+    rows = np.stack([A_flat(e) for e in np.eye(n)], axis=1)
+    aug = np.vstack([rows, np.sqrt(alpha) * np.eye(n)])
+    rhs = np.concatenate([b.reshape(-1), np.zeros(n)])
+    res = scipy.optimize.lsq_linear(aug, rhs, bounds=(0, np.inf))
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda z: z
+    x_ours = np.asarray(tikhonov_solve(
+        Aj, Aj_adj, ident, ident, jnp.asarray(b), 0.0, jnp.zeros(shape),
+        alpha, data_loss="linear", minimizer="irls", iter_max=8,
+        irls_cg_iters=15))
+
+    def objective(x):
+        r = A_flat(x.reshape(-1)) - b.reshape(-1)
+        return 0.5 * np.sum(r ** 2) + 0.5 * alpha * np.sum(x ** 2)
+
+    assert x_ours.min() >= 0.0
+    assert objective(x_ours) <= objective(res.x.reshape(shape)) * 1.005
+
+
 def test_tikhonov_irls_monotone_descent(rng):
     """Each IRLS sweep decreases the robust cost (MM guarantee)."""
     shape = (16, 16)
