@@ -164,6 +164,56 @@ def test_admm_study_vmapped_alpha_rho_grid(tmp_path, rng):
     assert list(lines) == [1, 3]
 
 
+def test_admm_study_robust_irls_sweep(tmp_path, rng):
+    """Robust (huber) ADMM sweeps vmap the IRLS inner engine over the
+    alpha×rho grid; one grid cell must equal the direct solve with the same
+    parameters."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.ops import conv as C
+    from nsol_tpu.solvers.admm import admm_solve
+
+    shape = (12, 12)
+    cov = np.diag([0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    b = ndi.convolve(rng.rand(*shape), kern, mode="wrap")
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    grad_j, grad_adj_j = G.make_gradient_operators()
+    solver = ADMMLinearSolver(
+        A=Aj, A_adj=Aj_adj, b=b, B=grad_j, B_adj=grad_adj_j,
+        x0=np.array(b), dimension=2, iterations=3, iter_max=4,
+        data_loss="huber", data_loss_scale=0.7, minimizer="irls")
+    obs = Observer()
+    bj = jnp.asarray(b)
+    obs.set_measures(_measures(grad_j, bj))
+    out = str(tmp_path / "admm_irls")
+    study = ADMMLinearSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out, name="ADMM",
+        parameters={"alpha": [0.01, 0.05], "rho": [0.1, 0.5]})
+    study.run()
+
+    reader = ReaderParameterStudy(directory=out, name="ADMM")
+    reader.read_study()
+    data = reader.get_results("Data")
+    assert data.shape == (4, 4)
+    assert np.isfinite(data).all()
+
+    # Grid cell (alpha=0.05, rho=0.5) == direct solve with those params.
+    recon = reader.get_reconstructions()
+    line = reader.get_lines_to_parameters(
+        {"alpha": [0.01, 0.05], "rho": 0.5})[1]
+    x_direct, _ = admm_solve(
+        Aj, Aj_adj, grad_j, grad_adj_j, bj, 0.0, bj, 0.05, 0.5,
+        iterations=3, iter_max=4, data_loss="huber", data_loss_scale=0.7,
+        minimizer="irls")
+    np.testing.assert_allclose(
+        np.asarray(recon[str(line)], dtype=np.float64).reshape(shape),
+        np.asarray(x_direct, dtype=np.float64), atol=2e-3)  # f16 npz storage
+
+
 def test_vmapped_sweep_sharded_over_batch_mesh(tmp_path, rng):
     """The vmapped alpha sweep sharded over a 4-device batch mesh equals the
     single-device sweep (BASELINE config 4 scale-out)."""
