@@ -4,7 +4,7 @@ Same flag surface as the reference's InputArgparser
 (nsol/input_argparser.py:34-415): one ``add_<flag>()`` method per known
 option, defaults auto-appended to help text, ``print_arguments`` echo.
 Implemented directly on argparse without the locals()-introspection
-machinery.
+machinery; help prose is this package's own.
 """
 
 import argparse
@@ -37,7 +37,7 @@ class InputArgparser(object):
         self._parser = argparse.ArgumentParser(**kwargs)
         self._parser.add_argument(
             "--version", action="version", version="%s" % __version__,
-            help="Show version number and exit")
+            help="Print the nsol_tpu version and exit")
 
     def get_parser(self):
         return self._parser
@@ -62,126 +62,138 @@ class InputArgparser(object):
 
     def add_observation(self, required=True):
         self._add("--observation", type=str, required=required,
-                  help="Path to observation %s." % INPUT_FILE_TYPES)
+                  help="Input image to denoise/deconvolve; any of "
+                       "%s." % INPUT_FILE_TYPES)
 
     def add_filename(self, required=True):
         self._add("--filename", type=str, required=required,
-                  help="Path to filename %s." % INPUT_FILE_TYPES)
+                  help="Input image file %s." % INPUT_FILE_TYPES)
 
     def add_dir_input(self, default=None, required=False):
         self._add("--dir-input", type=str, default=default,
-                  required=required, help="Input directory.")
+                  required=required,
+                  help="Directory to read inputs from.")
 
     def add_result(self, required=True, default=None):
         self._add("--result", type=str, required=required, default=default,
-                  help="Specify path for obtained result %s."
-                       % INPUT_FILE_TYPES)
+                  help="Where to write the reconstruction; format chosen "
+                       "by extension %s." % INPUT_FILE_TYPES)
 
     def add_reference(self, required=False):
         self._add("--reference", type=str, required=required,
-                  help="Path to reference %s. Similarity measures are "
-                       "computed only if reference is given."
+                  help="Ground-truth image %s; when supplied, each "
+                       "similarity measure is evaluated against it."
                        % INPUT_FILE_TYPES)
 
     def add_dir_output(self, default=None, required=False):
         self._add("--dir-output", type=str, default=default,
-                  required=required, help="Output directory.")
+                  required=required,
+                  help="Directory to write results into.")
 
     def add_dir_output_figures(self, default=None):
         self._add("--dir-output-figures", type=str, default=default,
-                  help="If given, created figures are saved to this "
-                       "directory.")
+                  help="Save generated plots into this directory instead "
+                       "of only displaying them.")
 
     # -- problem configuration ---------------------------------------------
 
     def add_reconstruction_type(self, default="TVL1"):
         self._add("--reconstruction-type", type=str, default=default,
-                  help="Define reconstruction type. Allowed values are "
-                       "'TVL1', 'TVL2', 'HuberL1' and 'HuberL2' (denoising) "
-                       "or 'TK0L2', 'TK1L2', 'TVL2', 'HuberL2' "
-                       "(deconvolution).")
+                  help="Which data-fidelity/regularizer pairing to solve: "
+                       "TVL1, TVL2, HuberL1, HuberL2 for denoising; TK0L2, "
+                       "TK1L2, TVL2, HuberL2 for deconvolution.")
 
     def add_measures(self, default=None):
         self._add("--measures", type=str, nargs="+", default=default,
-                  help="Measures to be evaluated between reference (if "
-                       "given) and reconstruction (%s)."
-                       % ", ".join(SIMILARITY_MEASURES))
+                  help="Similarity measures to track against the reference "
+                       "image, from: %s." % ", ".join(SIMILARITY_MEASURES))
 
     def add_alpha(self, default=0.03):
         self._add("--alpha", type=float, nargs="+", default=default,
-                  help="Regularization parameter alpha to solve the "
-                       "minimization problem min_x [f(x) + alpha g(x)].")
+                  help="Regularization weight(s); each alpha trades the "
+                       "data term against the regularizer in "
+                       "min_x f(x) + alpha*g(x), and one solve is run per "
+                       "value given.")
 
     def add_alpha_range(self, default=None, required=False):
         self._add("--alpha-range", type=float, nargs="+", default=default,
                   required=required,
-                  help="Specify regularization parameter array by providing "
-                       "'First Last Step' information; generated via "
-                       "np.linspace(First, Last, Step).")
+                  help="Sweep grid for alpha as three numbers START STOP "
+                       "COUNT, expanded with np.linspace.")
 
     def add_data_loss(self, default="linear"):
         self._add("--data-loss", type=str, default=default,
-                  help="Loss function rho used for the data term "
-                       "(%s)." % ", ".join(LOSSES))
+                  help="Robust loss rho applied to squared residuals of "
+                       "the data term; one of %s." % ", ".join(LOSSES))
 
     def add_data_losses(self, default=None, required=False):
         self._add("--data-losses", nargs="+", default=default,
                   required=required,
-                  help="Specify data losses to be used (%s)."
-                       % ", ".join(LOSSES))
+                  help="Robust losses to sweep over in a study; each from "
+                       "%s." % ", ".join(LOSSES))
 
     def add_data_loss_scale(self, default=1):
         self._add("--data-loss-scale", type=float, default=default,
-                  help="Value of soft margin between inlier and outlier "
-                       "residuals; rho_(f2) = C**2 * rho(f2/C**2).")
+                  help="Scale C of the robust loss (scipy f_scale "
+                       "convention, rho_C(r2) = C^2 rho(r2/C^2)): residuals "
+                       "below ~C count quadratically, larger ones are "
+                       "downweighted as outliers.")
 
     def add_data_loss_scale_range(self, default=None, required=False):
         self._add("--data-loss-scale-range", type=float, nargs="+",
                   default=default, required=required,
-                  help="Specify data loss scales by 'First Last Step'; "
-                       "generated via np.linspace.")
+                  help="Sweep grid for the loss scale as START STOP COUNT "
+                       "(np.linspace).")
 
     def add_blur(self, default=0):
         self._add("--blur", type=float, nargs="+", default=default,
-                  help="Specify for Gaussian blurring a single standard "
-                       "deviation (isotropic) or one per spatial direction "
-                       "(elliptic).")
+                  help="Gaussian blur stddev in voxels: one number for an "
+                       "isotropic PSF, or one per axis for an "
+                       "axis-aligned anisotropic PSF.")
 
     def add_noise(self, default=None):
         self._add("--noise", type=str, default=default,
-                  help="Specify type of noise to be applied %s."
+                  help="Kind of synthetic corruption to add %s."
                        % NOISE_TYPES)
 
     def add_noise_level(self, default=None):
         self._add("--noise-level", type=float, default=default,
-                  help="Specify noise level to be applied.")
+                  help="Noise amplitude, relative to the data maximum.")
 
     # -- solver configuration ----------------------------------------------
 
     def add_solver(self, default="PD"):
         self._add("--solver", type=str, default=default,
-                  help="Type of solver: 'ADMM' or 'PD'.")
+                  help="Outer splitting algorithm: 'ADMM' or 'PD' "
+                       "(Chambolle-Pock primal-dual).")
 
     def add_minimizer(self, default="lsmr"):
         self._add("--minimizer", type=str, default=default,
-                  help="Minimizer for the inner quadratic problem: 'lsmr' "
+                  help="Engine for the inner quadratic problem: 'lsmr' "
                        "(CGLS on TPU), 'cg' (CG on fused normal equations "
-                       "— fastest for linear loss), 'lsq_linear', "
+                       "— fastest for linear loss), 'irls' (reweighted CG "
+                       "— fastest for robust losses), 'lsq_linear', "
                        "'least_squares', or a quasi-Newton name like "
-                       "'L-BFGS-B' (required for non-linear data losses).")
+                       "'L-BFGS-B' (handles non-linear data losses).")
 
     def add_rho(self, default=0.5):
         self._add("--rho", type=float, default=default,
-                  help="Regularization parameter of the augmented "
-                       "Lagrangian term for TV regularization by ADMM.")
+                  help="ADMM penalty weight on the augmented-Lagrangian "
+                       "splitting term.")
 
     def add_iterations(self, default=10):
         self._add("--iterations", type=int, default=default,
-                  help="Number of ADMM/Primal-Dual iterations.")
+                  help="Outer iteration count of the ADMM / primal-dual "
+                       "loop.")
 
     def add_iter_max(self, default=10):
         self._add("--iter-max", type=int, default=default,
-                  help="Number of maximum iterations for the inner solver.")
+                  help="Iteration budget of each inner quadratic solve.")
+
+    def add_irls_cg_iters(self, default=8):
+        self._add("--irls-cg-iters", type=int, default=default,
+                  help="CG iterations inside each IRLS reweighting step "
+                       "(only used when --minimizer irls).")
 
     def add_pd_alg_type(self, default="ALG2"):
         self._add("-pd_alg_type", type=str, default=default,
@@ -190,24 +202,27 @@ class InputArgparser(object):
 
     def add_tv_solver(self, default="PD"):
         self._add("--tv-solver", type=str, default=default,
-                  help="Solver for TV problems: 'PD' or 'ADMM'.")
+                  help="Which algorithm handles TV problems: 'PD' or "
+                       "'ADMM'.")
 
     # -- misc ---------------------------------------------------------------
 
     def add_study_name(self, default=None, required=False):
         self._add("--study-name", type=str, default=default,
                   required=required,
-                  help="Name of parameter study without white spaces.")
+                  help="Identifier for the parameter study's output files "
+                       "(no whitespace).")
 
     def add_colormap(self, default=None):
         self._add("--colormap", type=str, default=default,
-                  help="Colormap for visualization (2D), e.g. 'Greys_r'.")
+                  help="Matplotlib colormap for 2-D displays, e.g. "
+                       "'Greys_r'.")
 
     def add_verbose(self, default=1):
         self._add("--verbose", type=int, default=default,
-                  help="Turn on/off verbose output.")
+                  help="1 = chatty progress output, 0 = quiet.")
 
     def add_option(self, option_string="--option", nargs=None, type=float,
-                   default=None, required=False, help="Add option."):
+                   default=None, required=False, help="Extra option."):
         self._add(option_string, nargs=nargs, type=type, default=default,
                   required=required, help=help)

@@ -89,40 +89,61 @@ class SolverParameterStudy(ParameterStudy):
         self._run()
         self._computational_time = ph.stop_timing(time_start)
 
-    # -- append validation (nsol/solver_parameter_study.py:104-149) --------
+    # -- append validation (behavioral contract as in the reference engine,
+    #    nsol/solver_parameter_study.py:104-149: static solver settings in
+    #    the stored header must match the current configuration, numeric
+    #    values to ~1e-6; implemented here by parsing both headers into
+    #    key→value maps and diffing them) ----------------------------------
+
+    @staticmethod
+    def _parse_header_settings(header):
+        """Split a parameters-file header line into its study name and a
+        ``{setting: value}`` map.
+
+        Header lines look like ``## <name>, k1=v1, k2=v2 (<timestamp>)``;
+        the trailing timestamp is write-time metadata, not configuration,
+        and is dropped.
+        """
+        body = header.strip()
+        if body.startswith("##"):
+            body = body[2:].strip()
+        body = re.sub(r"\s*\([^()]*\)\s*$", "", body)
+        name, *pairs = body.split(", ")
+        settings = {}
+        for pair in pairs:
+            key, _, value = pair.partition("=")
+            settings[key] = value
+        return name, settings
 
     def _check_that_studies_match(self):
-        def raise_error(h1, h2, info=""):
-            raise RuntimeError(
-                "Study cannot be appended as parameter settings do not "
-                "match: %s != %s%s" % (h1, h2, info))
-
         reader = ReaderParameterStudy(directory=self._directory,
                                       name=self._name)
         reader.read_study()
-        header_prev = reader.get_file_header()
-        header = self._get_fileheader()
+        stored_header = reader.get_file_header()
+        name_stored, stored = self._parse_header_settings(stored_header)
+        name_now, now = self._parse_header_settings(self._get_fileheader())
 
-        header_list = header.split(" ")[1:-2]
-        header_prev_list = header_prev.split(" ")[1:-2]
-        for h1, h2 in zip(header_list, header_prev_list):
-            h1 = re.sub(",", "", h1)
-            h2 = re.sub(",", "", h2)
-            if h1 == h2:
+        def incompatible(why):
+            raise RuntimeError(
+                "Study '%s' cannot be appended: %s. Stored header: %r"
+                % (self._name, why, stored_header.strip()))
+
+        if name_stored != name_now:
+            incompatible("study is named '%s' on disk" % name_stored)
+        if set(stored) != set(now):
+            incompatible("configured settings %s differ from the stored "
+                         "ones %s" % (sorted(now), sorted(stored)))
+        for key, value in now.items():
+            prev = stored[key]
+            if value == prev:
                 continue
-            if "=" in h1 and "=" in h2:
-                h1_var, h1_val = h1.split("=")
-                h2_var, h2_val = h2.split("=")
-                if h1_var != h2_var:
-                    raise_error(h1, h2)
-                if _is_float(h1_val) and _is_float(h2_val):
-                    try:
-                        np.testing.assert_almost_equal(
-                            float(h1_val), float(h2_val), decimal=6)
-                        continue
-                    except AssertionError as e:
-                        raise_error(h1, h2, ". %s" % e)
-            raise_error(h1, h2)
+            # numeric settings match up to the reference's 1e-6 header
+            # tolerance; everything else must be literally identical
+            if (_is_float(value) and _is_float(prev)
+                    and abs(float(value) - float(prev)) < 1.5e-6):
+                continue
+            incompatible("setting '%s' is %s on disk but %s in the "
+                         "current solver" % (key, prev, value))
 
     # -- execution ---------------------------------------------------------
 

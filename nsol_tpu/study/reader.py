@@ -78,38 +78,46 @@ class ReaderParameterStudy(ParameterStudy):
         return {tuple(line.split("\t")): i for i, line in enumerate(lines)}
 
     def get_lines_to_parameters(self, parameters):
-        """Rows for a slice where exactly one key varies
-        (nsol/reader_parameter_study.py:278-316)."""
+        """Row indices for a 1-D slice of the study grid.
+
+        ``parameters`` fixes every swept key to a scalar except (at most)
+        one, given as a sequence of values to walk; returns the
+        parameter-file row of each point along that axis. Behavioral
+        contract as in the reference reader
+        (nsol/reader_parameter_study.py:278-316): callers like the L-curve
+        plot use this to slice out the varying-alpha rows.
+        """
         self._check_that_study_was_read()
         if parameters.keys() != self._parameters_dic.keys():
             raise ValueError(
-                "Provided dictionary keys must match. Required keys for "
-                "this study are " + str(self._parameters_dic.keys()))
+                "Parameter slice must name exactly the swept keys of this "
+                "study: %s" % sorted(self._parameters_dic))
 
-        varying_key = None
-        rows = 0
-        for key in parameters:
-            if isinstance(parameters[key], (tuple, list, np.ndarray)):
-                if len(parameters[key]) == 1:
-                    raise ValueError("Single entry in key '%s' must not be "
-                                     "a list" % key)
-                if len(parameters[key]) > 1:
-                    if varying_key is None:
-                        varying_key = key
-                        rows = len(parameters[key])
-                    else:
-                        raise ValueError("Provided dictionary can only vary "
-                                         "in a single key")
+        sequence_keys = [k for k, v in parameters.items()
+                         if isinstance(v, (tuple, list, np.ndarray))]
+        for k in sequence_keys:
+            if len(parameters[k]) < 2:
+                raise ValueError(
+                    "Key '%s' holds a length-%d sequence; fixed axes take "
+                    "a bare scalar, the varying axis a sequence of >= 2 "
+                    "values" % (k, len(parameters[k])))
+        if len(sequence_keys) > 1:
+            raise ValueError(
+                "At most one axis may vary per slice, but sequences were "
+                "given for all of %s" % sequence_keys)
 
-        parameters_to_line = self.get_parameters_to_line()
-        lines = np.zeros(rows, dtype=int)
-        for i in range(rows):
-            key = []
-            for k in parameters:
-                key.append(str(parameters[k][i]) if k == varying_key
-                           else str(parameters[k]))
-            lines[i] = parameters_to_line[tuple(key)]
-        return lines
+        row_of = self.get_parameters_to_line()
+        # tuple keys in row_of follow the parameter-file column order
+        columns = list(self._parameters_dic.keys())
+        if not sequence_keys:
+            return np.zeros(0, dtype=int)
+        axis = sequence_keys[0]
+        rows = np.empty(len(parameters[axis]), dtype=int)
+        for i, value in enumerate(parameters[axis]):
+            point = tuple(str(value) if k == axis else str(parameters[k])
+                          for k in columns)
+            rows[i] = row_of[point]
+        return rows
 
     def get_line_to_parameter_labels(self, separator=", ", compact=False):
         self._check_that_study_was_read()
