@@ -49,10 +49,14 @@ def _read(name):
 
 
 def _chain_time(fn, x0, n=10):
+    """Chained-execution timing: each solve's output feeds the next solve's
+    input, one final fetch synchronizes (BASELINE.md methodology). ``fn``
+    may return the iterate alone or a tuple whose first element is it."""
     xi = x0
     t0 = time.perf_counter()
     for _ in range(n):
-        xi = fn(xi)
+        out = fn(xi)
+        xi = out[0] if isinstance(out, tuple) else out
     np.asarray(xi)
     return (time.perf_counter() - t0) / n
 
@@ -119,13 +123,10 @@ def _config2_run(minimizer, iter_max, tag, **solver_kw):
     np.asarray(x0_out)
     objective = float(np.asarray(obj))
 
-    n = 5
-    xi = b
-    t0 = time.perf_counter()
-    for _ in range(n):
-        xi, obj = f(xi)
-    np.asarray(xi)
-    per = (time.perf_counter() - t0) / n
+    # NOTE: the timed region includes the objective computation for both
+    # inner engines — fair relatively, but ~1 op-chain heavier than a bare
+    # solve (the pre-2026-08-19 619 it/s figure timed the bare solve).
+    per = _chain_time(f, b, n=5)
     return {"config": tag,
             "iters_per_sec": round(10 / per, 1),
             "ms_per_solve": round(per * 1e3, 3),
@@ -232,12 +233,18 @@ def config_scale_256cubed():
 
 
 def main():
-    configs = (config1_lena_pd_denoise, config2_lena_robust_deconv,
-               config2_lena_robust_deconv_irls,
-               config4_man1024_alpha_sweep, config_scale_256cubed)
+    all_configs = (config1_lena_pd_denoise, config2_lena_robust_deconv,
+                   config2_lena_robust_deconv_irls,
+                   config4_man1024_alpha_sweep, config_scale_256cubed)
+    configs = all_configs
     if len(sys.argv) > 1:
-        configs = tuple(f for f in configs
+        configs = tuple(f for f in all_configs
                         if any(s in f.__name__ for s in sys.argv[1:]))
+        if not configs:
+            raise SystemExit(
+                "No benchmark config matches %r; valid names: %s"
+                % (sys.argv[1:],
+                   ", ".join(f.__name__ for f in all_configs)))
     for fn in configs:
         try:
             print(json.dumps(fn()), flush=True)

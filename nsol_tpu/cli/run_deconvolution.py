@@ -37,6 +37,7 @@ def main():
     input_parser.add_data_loss_scale(default=1.0)
     input_parser.add_minimizer(default="lsmr")
     input_parser.add_iter_max(default=10)
+    input_parser.add_irls_cg_iters(default=8)
     input_parser.add_dir_output_figures(default=None)
     input_parser.add_verbose(default=0)
     args = input_parser.parse_args()
@@ -81,13 +82,14 @@ def main():
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, spacing=spacing,
                                      shape=observed_nda.shape, method="auto")
     grad_op, grad_adj = G.make_gradient_operators(spacing)
-    # Fused normal operators for the minimizer="cg" fast path
+    # Fused normal operators for the minimizer="cg"/"irls" fast paths
     normal_A = normal_B = None
-    if args.minimizer == "cg":
+    if args.minimizer in ("cg", "irls"):
         from nsol_tpu.ops import matmul_ops as MM
 
-        normal_A = C.make_normal_blur_operator(
-            cov, alpha_cut=3, spacing=spacing, shape=observed_nda.shape)
+        if args.minimizer == "cg":
+            normal_A = C.make_normal_blur_operator(
+                cov, alpha_cut=3, spacing=spacing, shape=observed_nda.shape)
         try:
             normal_B = MM.matmul_gradient_normal_fn(
                 observed_nda.shape, spacing)
@@ -102,7 +104,8 @@ def main():
         measures=args.measures, dimension=dimension,
         reconstruction_type=args.reconstruction_type, rho=args.rho,
         x_ref=x_ref, tv_solver=args.solver, verbose=args.verbose,
-        normal_A=normal_A, normal_B=normal_B)
+        normal_A=normal_A, normal_B=normal_B,
+        irls_cg_iters=args.irls_cg_iters)
     solver_interface.set_up_solver()
     solver_interface.set_up_measures()
     solver = solver_interface.get_solver()

@@ -27,6 +27,7 @@ def main():
     input_parser.add_rho(default=0.1)
     input_parser.add_iter_max(default=10)
     input_parser.add_minimizer(default="lsmr")
+    input_parser.add_irls_cg_iters(default=8)
     input_parser.add_alpha(default=[0.01])
     input_parser.add_data_loss(default="linear")
     input_parser.add_data_loss_scale(default=1)
@@ -74,13 +75,14 @@ def main():
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, spacing=spacing,
                                      shape=observed_nda.shape, method="auto")
     grad_op, grad_adj = G.make_gradient_operators(spacing)
-    # Fused normal operators for the minimizer="cg" fast path
+    # Fused normal operators for the minimizer="cg"/"irls" fast paths
     normal_A = normal_B = None
-    if args.minimizer == "cg":
+    if args.minimizer in ("cg", "irls"):
         from nsol_tpu.ops import matmul_ops as MM
 
-        normal_A = C.make_normal_blur_operator(
-            cov, alpha_cut=3, spacing=spacing, shape=observed_nda.shape)
+        if args.minimizer == "cg":
+            normal_A = C.make_normal_blur_operator(
+                cov, alpha_cut=3, spacing=spacing, shape=observed_nda.shape)
         try:
             normal_B = MM.matmul_gradient_normal_fn(
                 observed_nda.shape, spacing)
@@ -101,7 +103,8 @@ def main():
         dir_output=args.dir_output, parameters=parameters, name=name,
         reconstruction_info={"shape": np.array(observed_nda.shape)},
         x_ref=x_ref, tv_solver=args.solver, verbose=args.verbose,
-        normal_A=normal_A, normal_B=normal_B)
+        normal_A=normal_A, normal_B=normal_B,
+        irls_cg_iters=args.irls_cg_iters)
     interface.set_up_parameter_study()
     parameter_study = interface.get_parameter_study()
     parameter_study.run()

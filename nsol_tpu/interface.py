@@ -48,7 +48,7 @@ class DeconvolutionSolverStudyInterface(object):
                  reconstruction_type, dimension, L2=8, rho=0.5,
                  x_ref=None, x_ref_mask=None, data_loss="linear",
                  data_loss_scale=1, tv_solver="PD", verbose=0, append=0,
-                 normal_A=None, normal_B=None):
+                 normal_A=None, normal_B=None, irls_cg_iters=8):
         self._A = A
         self._A_adj = A_adj
         # Fused normal operators (A^T A, B^T B) enabling the
@@ -76,6 +76,7 @@ class DeconvolutionSolverStudyInterface(object):
         self._rho = rho
         self._verbose = verbose
         self._append = append
+        self._irls_cg_iters = irls_cg_iters
 
         self._solver = None
         self._measures_dic = None
@@ -146,7 +147,7 @@ class DeconvolutionSolverStudyInterface(object):
             data_loss_scale=self._data_loss_scale,
             iter_max=self._iter_max, minimizer=self._minimizer,
             verbose=self._verbose, normal_A=self._normal_A,
-            normal_B=ident)
+            normal_B=ident, irls_cg_iters=self._irls_cg_iters)
 
     def _set_up_solver_TK1L2(self):
         return TikhonovLinearSolver(
@@ -156,7 +157,7 @@ class DeconvolutionSolverStudyInterface(object):
             data_loss_scale=self._data_loss_scale,
             iter_max=self._iter_max, minimizer=self._minimizer,
             verbose=self._verbose, normal_A=self._normal_A,
-            normal_B=self._normal_B)
+            normal_B=self._normal_B, irls_cg_iters=self._irls_cg_iters)
 
     def _make_prox_lls(self):
         """prox of f(x)=½‖Ax−b‖² in scaled variables via inner CGLS
@@ -197,7 +198,8 @@ class DeconvolutionSolverStudyInterface(object):
                 iterations=self._iterations, dimension=self._dimension,
                 iter_max=self._iter_max, minimizer=self._minimizer,
                 verbose=self._verbose, normal_A=self._normal_A,
-                normal_B=self._normal_B)
+                normal_B=self._normal_B,
+                irls_cg_iters=self._irls_cg_iters)
         raise ValueError("tv_solver must be 'PD' or 'ADMM'")
 
     def _set_up_solver_HuberL2(self):
@@ -254,7 +256,7 @@ class DeconvolutionParameterStudyInterface(DeconvolutionSolverStudyInterface):
                  reconstruction_info, L2=8, rho=0.5, x_ref=None,
                  x_ref_mask=None, data_loss="linear", data_loss_scale=1,
                  tv_solver="PD", verbose=0, append=False, use_vmap=True,
-                 normal_A=None, normal_B=None):
+                 normal_A=None, normal_B=None, irls_cg_iters=8):
         DeconvolutionSolverStudyInterface.__init__(
             self, A=A, A_adj=A_adj, D=D, D_adj=D_adj, b=b, x0=x0,
             alpha=alpha, data_loss=data_loss,
@@ -263,7 +265,8 @@ class DeconvolutionParameterStudyInterface(DeconvolutionSolverStudyInterface):
             measures=measures, reconstruction_type=reconstruction_type,
             L2=L2, rho=rho, x_ref=x_ref, x_ref_mask=x_ref_mask,
             dimension=dimension, tv_solver=tv_solver, verbose=verbose,
-            append=append, normal_A=normal_A, normal_B=normal_B)
+            append=append, normal_A=normal_A, normal_B=normal_B,
+            irls_cg_iters=irls_cg_iters)
         self._name = name
         self._parameters = parameters
         self._reconstruction_info = reconstruction_info

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from nsol_tpu.solvers.cg import cg as _cg, cgls as _cgls
 from nsol_tpu.solvers.lbfgs import lbfgs_box as _lbfgs_box
+from nsol_tpu.solvers.tikhonov import tikhonov_solve as _tikhonov_solve
 
 __all__ = ["Optimize"]
 
@@ -37,11 +38,25 @@ class Optimize(object):
         return _cg(M, b, x0, iters=iter_max, axis_name=axis_name)
 
     @staticmethod
-    def nnls(A, A_adj, b, x0=None, iter_max=100):
-        """Non-negative least squares: CGLS with projection onto x ≥ 0
-        (the reference delegates to scipy.optimize.nnls)."""
-        x = Optimize.lsmr(A, A_adj, b, x0=x0, iter_max=iter_max)
-        return jnp.clip(x, 0.0, np.inf)
+    def nnls(A, A_adj, b, x0=None, iter_max=30, cg_iters=8):
+        """Non-negative least squares ``min_{x≥0} ½‖Ax−b‖²`` (the
+        reference delegates to scipy.optimize.nnls).
+
+        Runs the library's projected-Newton sweep (the ``minimizer="irls"``
+        engine with the linear loss, where the reweighting is trivially
+        the identity): each of the ``iter_max`` outer sweeps freezes the
+        active set x=0 with outward gradient, CG-solves the normal
+        equations on the free variables (``cg_iters`` each), and projects.
+        A plain solve-then-clip converges to a measurably worse objective
+        when the constraint is active — this does not.
+        """
+        if x0 is None:
+            x0 = jnp.zeros_like(A_adj(b))
+        ident = lambda z: z
+        return _tikhonov_solve(
+            A, A_adj, ident, ident, b, b_reg=jnp.zeros_like(x0), x0=x0,
+            alpha=0.0, minimizer="irls", iter_max=iter_max,
+            bounds=(0.0, np.inf), irls_cg_iters=cg_iters)
 
     @staticmethod
     def least_squares(fun, x0, bounds=(-np.inf, np.inf), iter_max=100):

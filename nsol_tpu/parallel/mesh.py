@@ -71,12 +71,23 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
         raise ValueError("leading axis %d not divisible by %d shards"
                          % (b.shape[0], n_shards))
 
-    from nsol_tpu.ops.conv import separable_factors
-    from nsol_tpu.ops.kernels import gaussian_kernel
+    # Probe separability only for the minimizers that can exploit it —
+    # an explicit "lsmr"/"L-BFGS-B" request never reads the result.
+    if minimizer in (None, "cg", "irls"):
+        from nsol_tpu.ops.conv import separable_factors
+        from nsol_tpu.ops.kernels import gaussian_kernel
 
-    kernel64 = gaussian_kernel(cov, alpha_cut=alpha_cut,
-                               spacing=spacing, dtype=np.float64)
-    separable = separable_factors(kernel64) is not None
+        kernel64 = gaussian_kernel(cov, alpha_cut=alpha_cut,
+                                   spacing=spacing, dtype=np.float64)
+        separable = separable_factors(kernel64) is not None
+        if minimizer == "irls" and not separable:
+            import warnings
+            warnings.warn(
+                "minimizer='irls' with a non-separable blur runs on the "
+                "direct-conv halo operators (no fused MXU normal pass); "
+                "expect the slower fallback path", stacklevel=2)
+    else:
+        separable = False
 
     normal_A = normal_B = None
     if minimizer is None or minimizer == "cg":

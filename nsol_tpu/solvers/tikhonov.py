@@ -162,7 +162,14 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
         # restricted to the free variables, then projects ``x + v``. The
         # restriction is what makes the fixed point the box-CONSTRAINED
         # stationary point (a plain solve + post-hoc clip converges to a
-        # measurably worse objective when bounds are active). Every operator
+        # measurably worse objective when bounds are active). Descent note:
+        # the unprojected CG step from v=0 decreases the MM surrogate, but
+        # the final projection onto the box can in principle move the
+        # iterate off the Krylov minimizer when free coordinates overshoot
+        # a bound, so per-sweep descent is the typical behavior, not a
+        # strict guarantee (in practice the active-set freeze makes large
+        # overshoots rare; observed monotone on the tested problems). Every
+        # operator
         # application rides the MXU matmul path when A/normal_B do. Works
         # under shard_map too: weights and masks are elementwise-local, CG
         # inner products psum over ``axis_name``.
@@ -204,6 +211,9 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
 
     if minimizer == "least_squares":
         # Robust loss over the full augmented residual (reference :174-194).
+        # Smooth losses (soft_l1/cauchy/arctan) converge to the TRF oracle's
+        # optimum; huber's ρ' kink can stall the box L-BFGS a few percent
+        # above it (seed-dependent) — prefer "irls" for huber.
         def cost(x):
             r_data = A(x) - b
             r_reg = sqrt_alpha * (B(x) - b_reg)

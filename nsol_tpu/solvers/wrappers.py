@@ -72,7 +72,7 @@ class TikhonovLinearSolver(LinearSolver):
     def __init__(self, A, A_adj, b, B, B_adj, x0, alpha=0.01, b_reg=0,
                  data_loss="linear", data_loss_scale=1, minimizer="lsmr",
                  iter_max=10, x_scale=1, verbose=0, bounds=(0, np.inf),
-                 normal_A=None, normal_B=None):
+                 normal_A=None, normal_B=None, irls_cg_iters=8):
         LinearSolver.__init__(
             self, A=A, A_adj=A_adj, b=b, x0=x0, alpha=alpha,
             x_scale=x_scale, data_loss=data_loss,
@@ -85,7 +85,14 @@ class TikhonovLinearSolver(LinearSolver):
         # Fused normal operators for the minimizer="cg" fast path
         self._normal_A = normal_A
         self._normal_B = normal_B
+        self._irls_cg_iters = int(irls_cg_iters)
         self._solve_cache = {}
+
+    def set_irls_cg_iters(self, irls_cg_iters):
+        self._irls_cg_iters = int(irls_cg_iters)
+
+    def get_irls_cg_iters(self):
+        return self._irls_cg_iters
 
     def get_B(self):
         return self._B
@@ -105,7 +112,7 @@ class TikhonovLinearSolver(LinearSolver):
                 jnp.asarray(self._alpha, self._x0.dtype),
                 jnp.asarray(self._data_loss_scale, self._x0.dtype))
         key = (self._minimizer, self._iter_max, self._data_loss,
-               self._bounds, id(self._A), id(self._B))
+               self._bounds, self._irls_cg_iters, id(self._A), id(self._B))
         if key not in self._solve_cache:
             def fn(b, b_reg, x0, alpha, dls):
                 return _tik.tikhonov_solve(
@@ -114,7 +121,8 @@ class TikhonovLinearSolver(LinearSolver):
                     data_loss=self._data_loss, data_loss_scale=dls,
                     minimizer=self._minimizer, iter_max=self._iter_max,
                     bounds=self._bounds, normal_A=self._normal_A,
-                    normal_B=self._normal_B)
+                    normal_B=self._normal_B,
+                    irls_cg_iters=self._irls_cg_iters)
 
             self._solve_cache[key] = jit_closed(fn, args)
         x = self._solve_cache[key](*args)
@@ -153,7 +161,8 @@ class TikhonovLinearSolver(LinearSolver):
                 data_loss_scale=data_loss_scale,
                 minimizer=self._minimizer, iter_max=self._iter_max,
                 bounds=self._bounds, normal_A=self._normal_A,
-                normal_B=self._normal_B)
+                normal_B=self._normal_B,
+                irls_cg_iters=self._irls_cg_iters)
             if record_fn is None:
                 return x, None
             recs = jax.tree_util.tree_map(
@@ -177,7 +186,7 @@ class ADMMLinearSolver(LinearSolver):
                  alpha=0.01, iter_max=10, minimizer="lsmr",
                  data_loss="linear", data_loss_scale=1, rho=0.5,
                  iterations=10, x_scale=1, verbose=0,
-                 normal_A=None, normal_B=None):
+                 normal_A=None, normal_B=None, irls_cg_iters=8):
         LinearSolver.__init__(
             self, A=A, A_adj=A_adj, b=b, x0=x0, alpha=alpha,
             x_scale=x_scale, data_loss=data_loss,
@@ -192,6 +201,7 @@ class ADMMLinearSolver(LinearSolver):
         # Fused normal operators for the minimizer="cg" fast path
         self._normal_A = normal_A
         self._normal_B = normal_B
+        self._irls_cg_iters = int(irls_cg_iters)
         self._solve_cache = {}
 
     def set_rho(self, rho):
@@ -199,6 +209,12 @@ class ADMMLinearSolver(LinearSolver):
 
     def get_rho(self):
         return self._rho
+
+    def set_irls_cg_iters(self, irls_cg_iters):
+        self._irls_cg_iters = int(irls_cg_iters)
+
+    def get_irls_cg_iters(self):
+        return self._irls_cg_iters
 
     def get_dimension(self):
         return self._dimension
@@ -221,7 +237,7 @@ class ADMMLinearSolver(LinearSolver):
         key = (self._minimizer, self._iter_max, self._iterations,
                self._data_loss, bool(record_fn), self._record_trajectory,
                tuple(sorted(measures)) if measures else None,
-               id(self._A), id(self._B))
+               self._irls_cg_iters, id(self._A), id(self._B))
         if key not in self._solve_cache:
             def fn(b, b_reg, x0, alpha, rho, dls):
                 return _admm.admm_solve(
@@ -231,7 +247,8 @@ class ADMMLinearSolver(LinearSolver):
                     data_loss=self._data_loss, data_loss_scale=dls,
                     minimizer=self._minimizer, record_fn=record_fn,
                     record_trajectory=self._record_trajectory,
-                    normal_A=self._normal_A, normal_B=self._normal_B)
+                    normal_A=self._normal_A, normal_B=self._normal_B,
+                    irls_cg_iters=self._irls_cg_iters)
 
             self._solve_cache[key] = jit_closed(fn, args)
         x, records = self._solve_cache[key](*args)
@@ -263,7 +280,8 @@ class ADMMLinearSolver(LinearSolver):
                 data_loss=self._data_loss,
                 data_loss_scale=data_loss_scale,
                 minimizer=self._minimizer, record_fn=record_fn,
-                normal_A=self._normal_A, normal_B=self._normal_B)
+                normal_A=self._normal_A, normal_B=self._normal_B,
+                irls_cg_iters=self._irls_cg_iters)
 
         (x_all, records), n = _sharded_vmap_run(
             solve_one, (alphas, rhos, dls), mesh)

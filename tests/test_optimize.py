@@ -57,3 +57,23 @@ def test_least_squares_residual(rng):
     x = np.asarray(Optimize.least_squares(
         fun, jnp.zeros(8), bounds=(0, np.inf), iter_max=200))
     np.testing.assert_allclose(M @ x, b, atol=1e-4)
+
+
+def test_nnls_matches_scipy_objective(rng):
+    """Optimize.nnls (projected-Newton sweeps) vs scipy.optimize.nnls on a
+    problem whose unconstrained optimum has negative entries, so the
+    constraint is genuinely active."""
+    import scipy.optimize
+
+    M = rng.rand(30, 12)
+    x_signed = rng.rand(12) - 0.6  # several negative coordinates
+    b = M @ x_signed + 0.05 * rng.randn(30)
+    x_scipy, r_scipy = scipy.optimize.nnls(M, b)
+    assert (np.linalg.lstsq(M, b, rcond=None)[0] < 0).any()
+
+    x = np.asarray(Optimize.nnls(lambda v: jnp.asarray(M) @ v,
+                                 lambda y: jnp.asarray(M.T) @ y,
+                                 jnp.asarray(b), iter_max=40, cg_iters=12))
+    assert (x >= 0).all()
+    r_ours = np.linalg.norm(M @ x - b)
+    assert r_ours <= r_scipy * 1.001

@@ -291,7 +291,11 @@ def test_tikhonov_irls_linear_matches_bounded_oracle(rng):
 
 
 def test_tikhonov_irls_monotone_descent(rng):
-    """Each IRLS sweep decreases the robust cost (MM guarantee)."""
+    """Each IRLS sweep decreases the robust cost on this problem. (MM
+    descent holds for the unprojected step; the box projection could in
+    principle break strict monotonicity — see the note in the irls branch
+    of tikhonov_solve — so this is a regression check on representative
+    data, not a proof.)"""
     shape = (16, 16)
     cov = np.diag([1.0, 1.0]) ** 2
     kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
@@ -598,3 +602,95 @@ def test_pd_huber_conj_matches_reference_iterates(rng):
         iterations=iters)
     solver.run()
     np.testing.assert_allclose(solver.get_x(), x_ref, atol=1e-9)
+
+
+def test_tikhonov_lsq_linear_matches_scipy(rng):
+    """``minimizer="lsq_linear"`` (projected FISTA on the normal equations)
+    vs the scipy.optimize.lsq_linear oracle on the same bounded augmented
+    system (reference dispatch: nsol/tikhonov_linear_solver.py:161-171).
+    Bias the data negative so the non-negativity bound is active."""
+    shape = (12, 14)
+    cov = np.diag([1.0, 1.0]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    b = ndi.convolve(rng.rand(*shape) - 0.4, kern, mode="wrap")
+    alpha = 0.05
+    n = b.size
+
+    def A_flat(v):
+        return ndi.convolve(v.reshape(shape), kern, mode="wrap").reshape(-1)
+
+    rows = np.stack([A_flat(e) for e in np.eye(n)], axis=1)
+    aug = np.vstack([rows, np.sqrt(alpha) * np.eye(n)])
+    rhs = np.concatenate([b.reshape(-1), np.zeros(n)])
+    res = scipy.optimize.lsq_linear(aug, rhs, bounds=(0, np.inf))
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda z: z
+    x_ours = np.asarray(tikhonov_solve(
+        Aj, Aj_adj, ident, ident, jnp.asarray(b), 0.0, jnp.zeros(shape),
+        alpha, data_loss="linear", minimizer="lsq_linear", iter_max=400))
+
+    def objective(x):
+        r_aug = aug @ x.reshape(-1) - rhs
+        return 0.5 * np.sum(r_aug ** 2)
+
+    assert x_ours.min() >= 0.0
+    assert objective(x_ours) <= objective(res.x) * 1.005
+
+
+def test_tikhonov_least_squares_matches_scipy(rng):
+    """``minimizer="least_squares"`` applies the robust loss to the WHOLE
+    augmented residual (reference: nsol/tikhonov_linear_solver.py:174-194)
+    — oracle: scipy.optimize.least_squares(method='trf') with the same
+    loss/f_scale/bounds on the dense augmented system.
+
+    Uses soft_l1 and cauchy, where the package's loss convention is
+    bit-identical to scipy's (huber differs: reference γ=1.345 vs scipy
+    γ=1) and the cost is smooth, so both optimizers reach the same
+    minimum. Both start from clip(b) — the reference clips x0 into the
+    bounds and its apps seed from the observation. huber is not oracle-
+    checked here: its ρ' kink can stall the box L-BFGS a few % above the
+    TRF optimum (seed-dependent), a known optimizer-quality limit noted
+    in the least_squares branch of tikhonov_solve.
+    """
+    shape = (10, 12)
+    cov = np.diag([1.0, 1.0]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    b = ndi.convolve(rng.rand(*shape), kern, mode="wrap") \
+        + 0.3 * rng.randn(*shape)
+    alpha, scale = 0.05, 0.5
+    n = b.size
+
+    def A_flat(v):
+        return ndi.convolve(v.reshape(shape), kern, mode="wrap").reshape(-1)
+
+    rows = np.stack([A_flat(e) for e in np.eye(n)], axis=1)
+    aug = np.vstack([rows, np.sqrt(alpha) * np.eye(n)])
+    rhs = np.concatenate([b.reshape(-1), np.zeros(n)])
+    x0 = np.clip(b.reshape(-1), 0, None)
+
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda z: z
+
+    def objective(x, loss_fn):
+        r_aug = jnp.asarray(aug @ np.asarray(x).reshape(-1) - rhs)
+        return 0.5 * float(np.sum(np.asarray(
+            loss_fn(r_aug ** 2, f_scale=scale))))
+
+    for loss, loss_fn, tol in (("soft_l1", lf.soft_l1, 1.0 + 1e-6),
+                               ("cauchy", lf.cauchy, 1.0 + 1e-5)):
+        res = scipy.optimize.least_squares(
+            lambda x: aug @ x - rhs, x0, method="trf", loss=loss,
+            f_scale=scale, bounds=(0, np.inf))
+        x_ours = np.asarray(tikhonov_solve(
+            Aj, Aj_adj, ident, ident, jnp.asarray(b), 0.0,
+            jnp.asarray(x0.reshape(shape)), alpha, data_loss=loss,
+            data_loss_scale=scale, minimizer="least_squares",
+            iter_max=300))
+        assert x_ours.min() >= 0.0
+        # compare under OUR loss convention at both solutions (scipy's
+        # huber γ differs, so res.cost itself is not directly comparable)
+        assert objective(x_ours, loss_fn) <= \
+            objective(res.x, loss_fn) * tol, loss
