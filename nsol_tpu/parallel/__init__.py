@@ -15,8 +15,10 @@ from nsol_tpu.parallel.mesh import (
     make_mesh, make_space_mesh, sharded_tv_admm_solve,
     sharded_tv_denoise_solve,
 )
+from nsol_tpu.parallel import distributed
 
 __all__ = [
+    "distributed",
     "exchange_plane_up", "exchange_plane_down", "exchange_halo_wrap",
     "make_sharded_gradient_operators", "make_sharded_blur_operators",
     "band_matrix", "make_sharded_matmul_blur_operators",

@@ -16,6 +16,7 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from nsol_tpu.parallel import halo
 from nsol_tpu.parallel import matmul_halo
+from nsol_tpu.parallel import distributed as dist
 from nsol_tpu.jitutil import jit_closed
 from nsol_tpu.solvers import admm as _admm
 from nsol_tpu.solvers import primal_dual as _pd
@@ -36,10 +37,49 @@ def make_space_mesh(n=None):
     return make_mesh((n,), ("space",))
 
 
+def _shard_input(arr, mesh, process_local):
+    """Place an input volume on the ``"space"``-sharded mesh.
+
+    ``process_local=True`` treats ``arr`` as THIS process's rows only and
+    assembles the logically-global array without any host materializing
+    the whole volume (the multi-host path; on one process the local block
+    IS the global volume, so the same call covers both).
+    ``process_local=False`` keeps the legacy single-process convenience:
+    ``arr`` is the full volume on this host.
+    """
+    if process_local:
+        return dist.global_array_from_process_local(mesh, arr,
+                                                    axis_name="space")
+    if jax.process_count() > 1:
+        raise ValueError(
+            "a full-volume host array cannot be distributed from one "
+            "process on a multi-host mesh; pass process-local rows with "
+            "process_local=True (see nsol_tpu.parallel.distributed)")
+    return jax.device_put(jnp.asarray(arr),
+                          NamedSharding(mesh, P("space")))
+
+
+def _global_rows(arr, mesh, process_local):
+    """Global leading-axis length of an input placed via
+    :func:`_shard_input`: with a process-local block, this process's rows
+    cover only its share of the mesh axis."""
+    if not process_local:
+        return arr.shape[0]
+    n_shards = mesh.shape["space"]
+    axis_devices = mesh.devices.reshape(-1)
+    mine = sum(d.process_index == jax.process_index()
+               for d in axis_devices)
+    if mine == 0 or arr.shape[0] % mine:
+        raise ValueError(
+            "process-local block of %d rows does not divide evenly over "
+            "this process's %d mesh devices" % (arr.shape[0], mine))
+    return arr.shape[0] // mine * n_shards
+
+
 def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
                           iterations=10, iter_max=10, alpha_cut=3,
                           data_loss="linear", data_loss_scale=1.0,
-                          minimizer=None):
+                          minimizer=None, process_local=False):
     """TV-L2/robust deconvolution of a volume sharded along array axis 0.
 
     The full ADMM loop (outer splitting + inner Krylov solve) runs inside one
@@ -62,14 +102,20 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
     problem falls back to the shard-aware box L-BFGS (psum-reduced global
     cost and curvature inner products — every rank takes identical steps).
 
-    ``b``/``x0`` are global (z, y, x) arrays (host or device); returns the
-    assembled global solution.
+    ``b``/``x0`` are (z, y, x) arrays: the full volume with the default
+    ``process_local=False`` (single-process convenience), or — on a
+    multi-host slice — each process's OWN rows with ``process_local=True``
+    (see :mod:`nsol_tpu.parallel.distributed` for the launch recipe and
+    the per-process row ranges). Returns the globally-sharded solution
+    `jax.Array`; under multi-host read back this host's rows with
+    :func:`nsol_tpu.parallel.distributed.process_local_data`.
     """
     n_shards = mesh.shape["space"]
     axis_name = "space"
-    if b.shape[0] % n_shards:
+    n_rows = _global_rows(b, mesh, process_local)
+    if n_rows % n_shards:
         raise ValueError("leading axis %d not divisible by %d shards"
-                         % (b.shape[0], n_shards))
+                         % (n_rows, n_shards))
 
     # Probe separability only for the minimizers that can exploit it —
     # an explicit "lsmr"/"L-BFGS-B" request never reads the result.
@@ -110,7 +156,7 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
             minimizer = "L-BFGS-B"
 
     if minimizer in ("cg", "irls") and separable:
-        local_shape = (b.shape[0] // n_shards,) + tuple(b.shape[1:])
+        local_shape = (n_rows // n_shards,) + tuple(b.shape[1:])
         A, A_adj = matmul_halo.make_sharded_matmul_blur_operators(
             cov, alpha_cut=alpha_cut, spacing=spacing,
             local_shape=local_shape, axis_name=axis_name,
@@ -142,27 +188,30 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
         in_specs=(P("space"), P("space"), P(), P()),
         out_specs=P("space"))
 
-    sh = NamedSharding(mesh, P("space"))
-    b_d = jax.device_put(jnp.asarray(b), sh)
-    x0_d = jax.device_put(jnp.asarray(x0), sh)
+    b_d = _shard_input(b, mesh, process_local)
+    x0_d = _shard_input(x0, mesh, process_local)
     args = (b_d, x0_d, jnp.asarray(alpha, b_d.dtype),
             jnp.asarray(rho, b_d.dtype))
     return jit_closed(mapped, args)(*args)
 
 
 def sharded_tv_denoise_solve(mesh, b, alpha, spacing=None, iterations=50,
-                             L2=8.0, alg_type="ALG2", variant="TVL2"):
+                             L2=8.0, alg_type="ALG2", variant="TVL2",
+                             process_local=False):
     """TV/Huber-L1/L2 denoising of a volume sharded along array axis 0.
 
     Chambolle–Pock with halo-exchange gradient stencils inside one
     ``shard_map`` — the elementwise proxes are local, only the stencils
     communicate (1-plane ghost zones per iteration over ICI).
-    ``variant`` ∈ {TVL1, TVL2, HuberL1, HuberL2}.
+    ``variant`` ∈ {TVL1, TVL2, HuberL1, HuberL2}. ``process_local`` as in
+    :func:`sharded_tv_admm_solve` (multi-host: ``b`` holds only this
+    process's rows).
     """
     n_shards = mesh.shape["space"]
-    if b.shape[0] % n_shards:
+    n_rows = _global_rows(b, mesh, process_local)
+    if n_rows % n_shards:
         raise ValueError("leading axis %d not divisible by %d shards"
-                         % (b.shape[0], n_shards))
+                         % (n_rows, n_shards))
 
     Bg, Bg_adj = halo.make_sharded_gradient_operators(
         spacing, axis_name="space", n_shards=n_shards)
@@ -187,7 +236,6 @@ def sharded_tv_denoise_solve(mesh, b, alpha, spacing=None, iterations=50,
         local_solve, mesh=mesh, in_specs=(P("space"), P()),
         out_specs=P("space"))
 
-    sh = NamedSharding(mesh, P("space"))
-    b_d = jax.device_put(jnp.asarray(b), sh)
+    b_d = _shard_input(b, mesh, process_local)
     args = (b_d, jnp.asarray(alpha, b_d.dtype))
     return jit_closed(mapped, args)(*args)
