@@ -101,7 +101,7 @@ def main():
         dimension=dimension,
         reconstruction_type=args.reconstruction_type, rho=args.rho,
         dir_output=args.dir_output, parameters=parameters, name=name,
-        reconstruction_info={"shape": np.array(observed_nda.shape)},
+        reconstruction_info=data_reader.get_reconstruction_info(),
         x_ref=x_ref, tv_solver=args.solver, verbose=args.verbose,
         normal_A=normal_A, normal_B=normal_B,
         irls_cg_iters=args.irls_cg_iters)

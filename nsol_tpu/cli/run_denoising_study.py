@@ -108,7 +108,7 @@ def main():
     parameter_study = PrimalDualSolverParameterStudy(
         solver, observer, dir_output=args.dir_output,
         parameters=parameters, name=name,
-        reconstruction_info={"shape": np.array(observed_nda.shape)})
+        reconstruction_info=data_reader.get_reconstruction_info())
     parameter_study.run()
 
     print("\nComputational time for Denoising Parameter Study %s: %s"

@@ -139,6 +139,13 @@ def show_reconstructions(reader, lines, dir_output=None,
     name = reader.get_parameter_study_name()
     labels_dic = reader.get_line_to_parameter_labels()
     shape = tuple(int(s) for s in recon_dic["shape"])
+    # Optional spatial metadata persisted by the study CLIs for nii inputs
+    # (reference contract: show_parameter_study.py:279-291 feeds
+    # origin/spacing/direction to the 3-D viewer). Spacing is (x, y, z).
+    if "spacing" in recon_dic:
+        spacing = np.asarray(recon_dic["spacing"], dtype=np.float64)
+    else:
+        spacing = np.ones(len(shape))
 
     for j, line in enumerate(lines):
         labels = [labels_dic[i] for i in line]
@@ -167,13 +174,18 @@ def show_reconstructions(reader, lines, dir_output=None,
                 fig.savefig(os.path.join(dir_output, name + suffix))
             plt.close(fig)
         elif len(shape) == 3:
-            # Headless 3-D gallery: orthogonal central slices per recon.
+            # Headless 3-D gallery: orthogonal central slices per recon,
+            # with voxel spacing applied as per-plane aspect ratios so
+            # anisotropic volumes display spatially correct. Arrays are
+            # (z, y, x); spacing is (x, y, z).
+            sx, sy, sz = spacing[0], spacing[1], spacing[2]
             for d, lab in zip(data_nda, labels):
                 fig, axes = plt.subplots(1, 3, figsize=(12, 4))
                 mid = [s // 2 for s in shape]
-                axes[0].imshow(d[mid[0]], cmap=colormap)
-                axes[1].imshow(d[:, mid[1]], cmap=colormap)
-                axes[2].imshow(d[:, :, mid[2]], cmap=colormap)
+                axes[0].imshow(d[mid[0]], cmap=colormap, aspect=sy / sx)
+                axes[1].imshow(d[:, mid[1]], cmap=colormap, aspect=sz / sx)
+                axes[2].imshow(d[:, :, mid[2]], cmap=colormap,
+                               aspect=sz / sy)
                 for ax in axes:
                     ax.axis("off")
                 fig.suptitle("%s: %s" % (name, lab))

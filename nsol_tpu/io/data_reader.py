@@ -47,6 +47,20 @@ class DataReader(object):
     # kept for call-site familiarity with the reference surface
     get_image_sitk = get_image_nifti
 
+    def get_reconstruction_info(self):
+        """Spatial metadata dict for the study npz: always ``shape``; for
+        nii inputs also ``origin``/``spacing``/``direction`` so the study
+        viewer (and downstream consumers like NiftyMIC) can display 3-D
+        reconstructions spatially correct — the reference persists the same
+        trio (nsol/application/show_parameter_study.py:279-291)."""
+        info = {"shape": np.array(np.shape(self._nda))}
+        if self._image_nifti is not None:
+            info["origin"] = np.asarray(self._image_nifti.get_origin())
+            info["spacing"] = np.asarray(self._image_nifti.get_spacing())
+            info["direction"] = np.asarray(
+                self._image_nifti.get_direction())
+        return info
+
     def _read_data_png(self):
         from PIL import Image
 

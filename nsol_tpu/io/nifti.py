@@ -45,6 +45,23 @@ class NiftiImage(object):
         """Spacing in (x, y, z) order — SimpleITK GetSpacing() parity."""
         return tuple(self.spacing)
 
+    def get_origin(self):
+        """World coordinates of voxel (0,0,0) — SimpleITK GetOrigin()
+        parity (the affine's translation column)."""
+        return tuple(self.affine[:3, 3])
+
+    def get_direction(self):
+        """Row-major 9-tuple of direction cosines — SimpleITK
+        GetDirection() parity (the affine's rotation columns, normalized
+        by spacing)."""
+        ndim = min(3, self.data.ndim)
+        cols = np.array(self.affine[:3, :3], dtype=np.float64)
+        for i in range(ndim):
+            s = self.spacing[i] if i < len(self.spacing) else 1.0
+            if s:
+                cols[:, i] = cols[:, i] / s
+        return tuple(cols.reshape(-1))
+
 
 def _maybe_gzip_read(path):
     with open(path, "rb") as f:

@@ -292,7 +292,14 @@ class SolverParameterStudy(ParameterStudy):
 
     def _create_file_computational_time(self):
         header = self._get_fileheader()
-        header += "## Computational time measured for n iterations\n"
+        # Semantics note: serial sweeps time each configuration's solve
+        # individually; the vmapped/hybrid fast paths execute the whole
+        # grid as one batched program, so their rows carry the batch
+        # wall-time divided by the number of configurations (an amortized
+        # figure, not a per-config measurement).
+        header += ("## Computational time measured for n iterations "
+                   "(vmapped sweeps: batch wall-time / #configs, "
+                   "amortized)\n")
         with open(self._get_path_to_file_computational_time(), "w") as f:
             f.write(header)
 

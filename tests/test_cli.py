@@ -184,3 +184,43 @@ def test_run_denoising_multiple_alphas_with_reference(tmp_path):
     assert p.returncode == 0, p.stderr[-2000:]
     assert os.path.isfile(os.path.join(figs, "TVL2_comparison.pdf"))
     assert os.path.isfile(os.path.join(figs, "TVL2_RMSE.pdf"))
+
+
+def test_study_nii_metadata_roundtrip(tmp_path):
+    """A 3-D nii study persists origin/spacing/direction in the npz
+    (reference contract: show_parameter_study.py:279-291) and the viewer
+    renders the spacing-correct 3-D galleries from it."""
+    out = str(tmp_path / "study3d")
+    p = _run(["nsol_run_deconvolution_study.py",
+              "--observation",
+              os.path.join(DATA, "3D_SheppLoganPhantom_64.nii.gz"),
+              "--reconstruction-type", "TK1L2",
+              "--iterations", "3",
+              "--iter-max", "3",
+              "--alpha-range", "0.01", "0.05", "2",
+              "--study-name", "meta3d",
+              "--dir-output", out])
+    assert p.returncode == 0, p.stderr[-2000:]
+
+    npz = np.load(os.path.join(out, "meta3d_reconstructions.npz"))
+    assert set(npz.files) >= {"shape", "origin", "spacing", "direction"}
+    assert tuple(npz["shape"]) == (64, 64, 64)
+    assert npz["origin"].shape == (3,)
+    assert npz["spacing"].shape == (3,)
+    assert npz["direction"].shape == (9,)
+
+    from nsol_tpu.io.nifti import read_nifti
+
+    img = read_nifti(os.path.join(DATA, "3D_SheppLoganPhantom_64.nii.gz"))
+    np.testing.assert_allclose(npz["spacing"], img.get_spacing())
+    np.testing.assert_allclose(npz["origin"], img.get_origin())
+    np.testing.assert_allclose(npz["direction"], img.get_direction())
+
+    figs = str(tmp_path / "figs3d")
+    p = _run(["nsol_show_parameter_study.py",
+              "--dir-input", out,
+              "--study-name", "meta3d",
+              "--dir-output-figures", figs])
+    assert p.returncode == 0, p.stderr[-2000:]
+    galleries = [f for f in os.listdir(figs) if "recon" in f]
+    assert len(galleries) == 2  # one per alpha

@@ -321,3 +321,17 @@ def test_hybrid_sweep_matches_serial(tmp_path, rng):
     for m in ["Data", "Reg"]:
         np.testing.assert_allclose(rs.get_results(m), rh.get_results(m),
                                    rtol=1e-8)
+
+
+def test_computational_time_semantics_documented(tmp_path, rng):
+    """The timing file's header states the vmapped-sweep amortization
+    (batch wall-time / #configs), and vmapped rows are equal-valued (one
+    batched program) while remaining parseable."""
+    out, b = _run_study(tmp_path, rng, use_vmap=True, subdir="timing")
+    path = os.path.join(out, "study_computational_time.txt")
+    with open(path) as f:
+        lines = f.readlines()
+    assert "amortized" in lines[1]
+    rows = [line.strip() for line in lines[2:]]
+    assert len(rows) == 3
+    assert len(set(rows)) == 1  # amortized: every row carries the same value
