@@ -1,7 +1,10 @@
 """PCA / robust-PCA tests: eigen-structure recovery and low-rank + sparse
 decomposition quality on synthetic data."""
 
+import os
+
 import numpy as np
+import pytest
 
 from nsol_tpu.pca import (
     PrincipalComponentAnalysis,
@@ -111,3 +114,20 @@ def test_admm_rpca_matches_reference_algorithm():
     # consensus: decomposition sums back to the data
     rel = norm(h["X1_admm"] + h["X2_admm"] + h["X3_admm"] - A) / norm(A)
     assert rel < 0.05
+
+
+def test_pca_show_writes_figures(tmp_path, rng):
+    """Principal-axes visualization (2-D and 3-D) saves a figure."""
+    from nsol_tpu.pca import PrincipalComponentAnalysis
+
+    for dim in (2, 3):
+        pts = rng.randn(200, dim) * np.array([3.0, 1.0, 0.5][:dim])
+        pca = PrincipalComponentAnalysis(pts)
+        pca.run()
+        path = str(tmp_path / ("axes%dd.png" % dim))
+        pca.show(title="pca%dd" % dim, step=2, path=path)
+        assert os.path.getsize(path) > 1000
+
+    with pytest.raises(RuntimeError, match="Run 'run' first"):
+        PrincipalComponentAnalysis(rng.randn(10, 2)).show(
+            path=str(tmp_path / "x.png"))
