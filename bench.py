@@ -56,17 +56,6 @@ def main():
     shape = x_true.shape
 
     cov = np.diag([SIGMA ** 2] * 3)
-    # Fastest configuration (measured, BASELINE.md): MXU circulant-matmul
-    # blur + CG on the fused normal equations (AᵀA as self-correlated
-    # circulant matmuls, DᵀD as tridiagonal matmuls).
-    from nsol_tpu.ops import matmul_ops as MM
-
-    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
-                                     method="auto", dtype=dtype)
-    nA = C.make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
-                                     dtype=dtype)
-    nB = MM.matmul_gradient_normal_fn(shape, dtype=dtype)
-    Bg, Bg_adj = G.make_gradient_operators()
 
     # Build b host-side (scipy) so bench compiles exactly ONE TPU program
     # (the axon remote compiler intermittently stalls for minutes per
@@ -75,14 +64,47 @@ def main():
     b_np = ndi.convolve(x_true, kern, mode="wrap")
     b = jnp.asarray(b_np.astype(dtype))
 
-    b_reg = jnp.zeros((3,) + shape, dtype)
-    alpha = jnp.asarray(ALPHA, dtype)
-    rho = jnp.asarray(RHO, dtype)
-    solve = jit_closed(
-        partial(admm_solve, A, A_adj, Bg, Bg_adj,
-                iterations=ITERATIONS, iter_max=ITER_MAX, minimizer="cg",
-                normal_A=nA, normal_B=nB),
-        (b, b_reg, b, alpha, rho))
+    # Fastest configuration (measured ladder in BASELINE.md): the fused
+    # VMEM-resident Pallas kernel — the ENTIRE ADMM solve in one program,
+    # all state in VMEM (2823 vs 1942 it/s on the MXU matmul path,
+    # 2026-08-20). Fallback: MXU circulant-matmul operators + fused
+    # normal-equation CG under jit.
+    from nsol_tpu.ops.pallas.fused import (
+        make_fused_admm_solver, fused_admm_fits_vmem,
+    )
+
+    def make_solve():
+        if fused_admm_fits_vmem(shape, dtype):
+            try:
+                fused = make_fused_admm_solver(
+                    shape, cov, iterations=ITERATIONS, iter_max=ITER_MAX,
+                    dtype=dtype)
+                import jax as _jax
+
+                f = _jax.jit(fused)
+                return lambda xi: f(xi, xi, ALPHA, RHO), "fused"
+            except Exception as e:  # pragma: no cover - defensive
+                print("fused kernel unavailable (%s); matmul path" % e,
+                      file=sys.stderr)
+        from nsol_tpu.ops import matmul_ops as MM
+
+        A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                         method="auto", dtype=dtype)
+        nA = C.make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                         dtype=dtype)
+        nB = MM.matmul_gradient_normal_fn(shape, dtype=dtype)
+        Bg, Bg_adj = G.make_gradient_operators()
+        b_reg = jnp.zeros((3,) + shape, dtype)
+        alpha = jnp.asarray(ALPHA, dtype)
+        rho = jnp.asarray(RHO, dtype)
+        solve = jit_closed(
+            partial(admm_solve, A, A_adj, Bg, Bg_adj,
+                    iterations=ITERATIONS, iter_max=ITER_MAX,
+                    minimizer="cg", normal_A=nA, normal_B=nB),
+            (b, b_reg, b, alpha, rho))
+        return lambda xi: solve(xi, b_reg, xi, alpha, rho)[0], "matmul"
+
+    step, variant = make_solve()
 
     # NOTE on timing under the axon tunnel: ``block_until_ready`` does NOT
     # synchronize (returns immediately) and compilation happens lazily at
@@ -90,18 +112,18 @@ def main():
     # ``np.asarray`` fetch, then CHAIN executions (each solve's output feeds
     # the next solve's input, forcing ordered real execution) and fetch only
     # the final result; per-solve time = total / n_chained.
-    x, _ = solve(b, b_reg, b, alpha, rho)
+    x = step(b)
     np.asarray(x)  # forces compile + first execution
 
     n_chain = 10
     t0 = time.perf_counter()
     xi = b
     for _ in range(n_chain):
-        xi, _ = solve(xi, b_reg, xi, alpha, rho)
+        xi = step(xi)
     np.asarray(xi)
     elapsed = (time.perf_counter() - t0) / n_chain
     iters_per_sec = ITERATIONS / elapsed
-    x, _ = solve(b, b_reg, b, alpha, rho)
+    x = step(b)
 
     # converged objective for the parity record (stderr, not the JSON
     # line) — computed host-side to avoid a second TPU compile
@@ -113,8 +135,9 @@ def main():
         axis=ax), axis=ax) for ax in (2, 1, 0)])
     objective = float(0.5 * np.sum(r ** 2)
                       + ALPHA * np.sum(np.sqrt(np.sum(gx ** 2, axis=0))))
-    print("objective=%.2f (reference-equivalent CPU: %.2f), elapsed=%.3fs"
-          % (objective, BASELINE_OBJECTIVE, elapsed), file=sys.stderr)
+    print("objective=%.2f (reference-equivalent CPU: %.2f), elapsed=%.3fs,"
+          " variant=%s" % (objective, BASELINE_OBJECTIVE, elapsed, variant),
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "admm_tv_deconv_3d_64_iters_per_sec",

@@ -9,8 +9,14 @@ matmuls per apply, which the MXU executes in microseconds and XLA fuses
 with the surrounding CG elementwise work. Matrices are built host-side
 (tiny) and hoisted to runtime arguments by ``jit_closed``.
 
-``precision=HIGHEST`` keeps true-f32 accumulation (3-pass bf16 decomposition
-on the MXU) — required for CG stability.
+``precision`` defaults to HIGHEST — true-f32 operands via the multi-pass
+bf16 decomposition on the MXU. Measured on the north-star bench
+(BASELINE.md "MXU precision ladder", 2026-08-20): DEFAULT (single-pass
+bf16 inputs) is +55 % throughput but the CG loses ~8 mantissa bits per
+operator apply and the converged ADMM objective lands 3.4 % off — fails
+the parity criterion. HIGH (3-pass) is +38 % and stays in the same 0.1 %
+objective band as HIGHEST — a valid knob when ultimate f32 parity is not
+required. The default stays HIGHEST; callers opt in deliberately.
 """
 
 import numpy as np
@@ -51,27 +57,28 @@ def laplacian_matrix(n, spacing=1.0, dtype=np.float32):
     return (T / h2).astype(dtype)
 
 
-def _apply_axis_matrix(x, C, axis):
+def _apply_axis_matrix(x, C, axis, precision=lax.Precision.HIGHEST):
     """y[..., i, ...] = Σ_m C[i, m] x[..., m, ...] along ``axis``."""
-    y = jnp.tensordot(x, C, axes=([axis], [1]),
-                      precision=lax.Precision.HIGHEST)
+    y = jnp.tensordot(x, C, axes=([axis], [1]), precision=precision)
     return jnp.moveaxis(y, -1, axis)
 
 
-def matmul_convolve_fn(factors, shape, dtype=np.float32):
+def matmul_convolve_fn(factors, shape, dtype=np.float32,
+                       precision=lax.Precision.HIGHEST):
     """Separable wrap convolution as a chain of per-axis circulant matmuls."""
     Cs = [jnp.asarray(circulant_matrix(f, n, dtype))
           for f, n in zip(factors, shape)]
 
     def apply(x):
         for ax, C in enumerate(Cs):
-            x = _apply_axis_matrix(x, C, ax)
+            x = _apply_axis_matrix(x, C, ax, precision)
         return x
 
     return apply
 
 
-def matmul_gradient_normal_fn(shape, spacing=None, dtype=np.float32):
+def matmul_gradient_normal_fn(shape, spacing=None, dtype=np.float32,
+                              precision=lax.Precision.HIGHEST):
     """``DᵀD`` as a sum of per-axis tridiagonal matmuls (matches
     :func:`nsol_tpu.ops.grad.gradient_normal` exactly)."""
     ndim = len(shape)
@@ -83,7 +90,7 @@ def matmul_gradient_normal_fn(shape, spacing=None, dtype=np.float32):
     def apply(x):
         out = None
         for ax, T in enumerate(Ts):
-            t = _apply_axis_matrix(x, T, ax)
+            t = _apply_axis_matrix(x, T, ax, precision)
             out = t if out is None else out + t
         return out
 

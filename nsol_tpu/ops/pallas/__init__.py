@@ -1,9 +1,12 @@
-"""Pallas TPU kernels for the hot stencil/prox operations.
+"""Pallas (Mosaic) kernels.
 
-These are the "native" compute kernels of the framework (SURVEY.md §2: the
-TPU build's native equivalents are the Pallas/XLA kernels replacing what
-scipy.ndimage/lsmr do internally in the reference)."""
+Production kernel: the fused VMEM-resident ADMM solver in
+:mod:`nsol_tpu.ops.pallas.fused` — the whole TV-L2 deconvolution solve as
+one program (see BASELINE.md optimization ladder level 4).
+"""
 
-from nsol_tpu.ops.pallas.blur import pallas_separable_blur_fn
+from nsol_tpu.ops.pallas.fused import (
+    make_fused_admm_solver, fused_admm_fits_vmem,
+)
 
-__all__ = ["pallas_separable_blur_fn"]
+__all__ = ["make_fused_admm_solver", "fused_admm_fits_vmem"]
