@@ -86,6 +86,50 @@ def config1_lena_pd_denoise():
             "ms_per_solve": round(per * 1e3, 3)}
 
 
+def config1_lena_pd_denoise_fused():
+    """Config 1 through the fused VMEM-resident Pallas PD kernel: the whole
+    50-iteration Chambolle–Pock solve as ONE Mosaic program (the XLA path
+    is launch-overhead-bound at this size — see BASELINE.md)."""
+    from nsol_tpu.ops.pallas.fused import (
+        make_fused_pd_denoise_solver, fused_pd_fits_vmem,
+    )
+
+    noisy = _read("2D_Lena_256_noise.png")
+    assert fused_pd_fits_vmem(noisy.shape)
+    x_scale = float(noisy.max())
+    b = jnp.asarray(noisy / x_scale)
+
+    fused = make_fused_pd_denoise_solver(noisy.shape, "TVL2",
+                                         alg_type="ALG2", iterations=50)
+
+    def solve(x0):
+        return fused(b, x0, jnp.asarray(0.6, DTYPE),
+                     jnp.asarray(8.0, DTYPE))
+
+    f = jit_closed(solve, (b,))
+    x = np.asarray(f(b))
+    # cross-check against the XLA path on the same problem
+    grad_op, grad_adj = G.make_gradient_operators()
+
+    def solve_xla(x0):
+        def prox_f(xx, tau):
+            return prox_ops.prox_ell2_denoising(xx, tau, b)
+
+        xx, _ = _pd.primal_dual_solve(
+            prox_f, prox_ops.prox_tv_conj, grad_op, grad_adj,
+            x0, jnp.asarray(0.6, DTYPE), jnp.asarray(8.0, DTYPE),
+            iterations=50)
+        return xx
+
+    x_ref = np.asarray(jit_closed(solve_xla, (b,))(b))
+    max_dev = float(np.max(np.abs(x - x_ref)))
+    per = _chain_time(f, b)
+    return {"config": "lena256_tvl2_pd_50it_fused",
+            "iters_per_sec": round(50 / per, 1),
+            "ms_per_solve": round(per * 1e3, 3),
+            "max_dev_vs_xla": round(max_dev, 8)}
+
+
 def _config2_run(minimizer, iter_max, tag, **solver_kw):
     """2D Lena 256 robust (huber) L2-deconvolution, ADMM — the robust-loss
     minimizer path. ``minimizer`` selects the inner engine: "L-BFGS-B"
@@ -233,7 +277,8 @@ def config_scale_256cubed():
 
 
 def main():
-    all_configs = (config1_lena_pd_denoise, config2_lena_robust_deconv,
+    all_configs = (config1_lena_pd_denoise, config1_lena_pd_denoise_fused,
+                   config2_lena_robust_deconv,
                    config2_lena_robust_deconv_irls,
                    config4_man1024_alpha_sweep, config_scale_256cubed)
     configs = all_configs

@@ -73,9 +73,44 @@ def main():
     prox_g_conj = (prox_ops.prox_tv_conj if rtype.startswith("TV")
                    else prox_ops.prox_huber_conj)
 
+    # Fused whole-solve Pallas path: on a TPU backend, when no observer
+    # trajectory is requested and the image fits VMEM, the entire PD solve
+    # runs as ONE Mosaic program (alpha stays a runtime scalar, so the
+    # multi-alpha loop reuses one compiled kernel). Parity vs the XLA path
+    # is pinned in tests/test_pallas.py; speed in BASELINE.md.
+    fused_jit = None
+    if args.solver == "PD" and x_ref is None:
+        import jax
+        from nsol_tpu.jitutil import jit_closed
+        from nsol_tpu.ops.pallas import fused as _fused
+
+        if (jax.default_backend() != "cpu" and dimension in (2, 3)
+                and _fused.fused_pd_fits_vmem(observed_nda.shape)):
+            fused_pd = _fused.make_fused_pd_denoise_solver(
+                observed_nda.shape, rtype, alg_type="ALG2",
+                iterations=args.iterations, dtype=bj.dtype)
+            L2 = jnp.asarray(8.0, bj.dtype)  # same quirk as below
+            a0 = jnp.asarray(float(alphas[0]), bj.dtype)
+            fused_jit = jit_closed(
+                lambda x0, a: fused_pd(bj, x0, a, L2), (bj, a0))
+
     recons = []
     observers = []
     for alpha in alphas:
+        if fused_jit is not None:
+            tm = ph.start_timing()
+            recon = np.asarray(
+                fused_jit(bj, jnp.asarray(float(alpha), bj.dtype)))
+            recon = recon * x_scale
+            observers.append(None)
+            recons.append(recon)
+            if args.verbose:
+                ph.print_info("Required computational time: %s"
+                              % ph.stop_timing(tm))
+            if args.result is not None:
+                DataWriter(recon, args.result,
+                           data_reader.get_image_nifti()).write_data()
+            continue
         if args.solver == "PD":
             solver = PrimalDualSolver(
                 prox_f=prox_f, prox_g_conj=prox_g_conj,

@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nsol_tpu.ops.grad import _spacing_array
 
-__all__ = ["make_fused_admm_solver", "fused_admm_fits_vmem"]
+__all__ = ["make_fused_admm_solver", "fused_admm_fits_vmem",
+           "make_fused_pd_denoise_solver", "fused_pd_fits_vmem"]
 
 #: conservative VMEM budget for auto-selection: persistent state + CG
 #: temporaries + compiler headroom, in dtype-sized volumes
@@ -84,6 +85,14 @@ def _roll_conv_axis0(u, taps):
         t = (u if j == c else jnp.roll(u, j - c, axis=0)) * k
         out = t if out is None else out + t
     return out
+
+
+def difference_matrix(n, dtype=np.float32):
+    """(n, n) forward-difference matrix with the zero-pad-right convention
+    of ops/grad.py::forward_difference: ``D = −I + superdiag(1)`` (last row
+    = −e_n). The adjoint (−backward difference) is exactly ``Dᵀ``."""
+    D = -np.eye(n) + np.diag(np.ones(n - 1), 1)
+    return D.astype(dtype)
 
 
 def _fwd_diff(u, axis):
@@ -282,5 +291,194 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
         r = jnp.full((1, 1), rho, dtype)
         return call(jnp.asarray(b, dtype), jnp.asarray(x0, dtype), a, r,
                     *mats)
+
+    return solve
+
+
+# --------------------------------------------------------------------------
+# Fused primal-dual denoising (BASELINE config 1 class of problems)
+# --------------------------------------------------------------------------
+
+#: PD state: x, x̄, b + ndim dual components + operator temporaries.
+_PD_STATE_VOLUMES = 12
+
+
+def fused_pd_fits_vmem(shape, dtype=jnp.float32):
+    """Heuristic: does the fused PD denoiser's working set fit in VMEM?"""
+    bytes_per_vol = int(np.prod(shape)) * jnp.dtype(dtype).itemsize
+    return _PD_STATE_VOLUMES * bytes_per_vol <= _VMEM_BUDGET_BYTES
+
+
+def _pd_schedules(alpha, L2, iterations, alg_type, dtype):
+    """Per-iteration (σ_t, τ_t, τ_t·λ, θ_t) step-size schedules, computed in
+    plain XLA so the Mosaic loop only *indexes* scalars (no in-kernel sqrt
+    recurrence, no scalar loop carry). Mirrors
+    :func:`nsol_tpu.solvers.primal_dual.primal_dual_solve`: σ/τ enter
+    iteration t, θ_t is the over-relaxation applied at iteration t.
+    """
+    alpha = jnp.asarray(alpha, dtype)
+    L2 = jnp.asarray(L2, dtype)
+    lmbda = 1.0 / alpha
+
+    if alg_type == "ALG3":
+        delta = jnp.asarray(0.05, dtype)  # primal_dual.ALG3_HUBER_DELTA
+        mu = 2.0 * jnp.sqrt(lmbda * delta / L2)
+        theta = jnp.full((iterations,), 1.0 / (1.0 + mu), dtype)
+        sigma = jnp.full((iterations,), mu / (2.0 * delta), dtype)
+        tau = jnp.full((iterations,), mu / (2.0 * lmbda), dtype)
+        return sigma, tau, tau * lmbda, theta
+
+    if alg_type == "ALG2":
+        tau0 = 1.0 / jnp.sqrt(L2)
+        sigma0 = 1.0 / (L2 * tau0)
+    else:  # ALG2_AHMOD
+        tau0 = jnp.asarray(0.02, dtype)
+        sigma0 = 4.0 / (L2 * tau0)
+    gamma = 0.35 * lmbda
+
+    def step(carry, _):
+        tau_t, sigma_t = carry
+        th = 1.0 / jnp.sqrt(1.0 + 2.0 * gamma * tau_t)
+        out = (sigma_t, tau_t,
+               th if alg_type == "ALG2" else jnp.asarray(0.0, dtype))
+        return (tau_t * th, sigma_t / th), out
+
+    _, (sigma, tau, theta) = lax.scan(step, (tau0, sigma0), None,
+                                      length=iterations)
+    return sigma, tau, tau * lmbda, theta
+
+
+def make_fused_pd_denoise_solver(shape, reconstruction_type,
+                                 alg_type="ALG2", iterations=50,
+                                 spacing=None, dtype=jnp.float32,
+                                 huber_gamma=0.05, interpret=False):
+    """Build ``solve(b, x0, alpha, L2) -> x``: a whole Chambolle–Pock
+    denoising solve as ONE VMEM-resident Pallas program.
+
+    The XLA PD path (solvers/primal_dual.py) is launch-overhead-bound at
+    denoising sizes: 50 iterations of a handful of cheap fused kernels over
+    a ≤1 MiB image. Here the image loads into VMEM once and all
+    ``iterations`` steps run inside one Mosaic program; the gradient/
+    divergence stencils are concat-slice differences (all axes, incl. the
+    tiled minor dims — same lowering the fused ADMM kernel uses for its
+    v-update).
+
+    ``reconstruction_type``: TVL1/TVL2 (componentwise TV-conj projection,
+    reference quirk preserved) or HuberL1/HuberL2 (γ=0.05 shrink first);
+    L1 vs L2 selects the shifted-soft-threshold vs closed-form ℓ2 primal
+    prox with ``x0 = b`` (the denoising problem; reference:
+    nsol/application/run_denoising.py:109-131, proximal_operators.py:95-159).
+    ``alpha``/``L2`` stay runtime scalars — the step-size schedules are
+    precomputed per call in plain XLA (`_pd_schedules`) and indexed from
+    SMEM, so alpha sweeps neither retrace nor recompile.
+    """
+    if reconstruction_type not in ("TVL1", "TVL2", "HuberL1", "HuberL2"):
+        raise ValueError("unknown reconstruction type '%s'"
+                         % reconstruction_type)
+    if alg_type not in ("ALG2", "ALG2_AHMOD", "ALG3"):
+        raise ValueError("alg_type must be one of ALG2/ALG2_AHMOD/ALG3")
+    ndim = len(shape)
+    if ndim not in (2, 3):
+        raise ValueError("fused PD kernel supports 2-D/3-D volumes")
+    ell1 = reconstruction_type.endswith("L1")
+    huber = reconstruction_type.startswith("Huber")
+
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    s = _spacing_array(spacing, ndim)  # spatial (x, y[, z]) order
+    inv_s = [np.asarray(1.0 / s[i], np_dtype) for i in range(ndim)]
+    gamma_h = np.asarray(huber_gamma, np_dtype)
+
+    # Minor-axis (tiled sublane/lane) differences as bidiagonal MXU
+    # matmuls: lane-axis concat-slice shifts are the pathological Mosaic
+    # data movement (measured: the shift variant of this kernel LOSES to
+    # the XLA path; the matmul variant wins — BASELINE.md). The untiled
+    # leading axis of a 3-D volume keeps the cheap slab-reindex stencil.
+    D_np = [difference_matrix(shape[ax], np_dtype)
+            for ax in range(max(ndim - 2, 0), ndim)]
+    D_all = D_np + [D.T.copy() for D in D_np]
+    n_minor = len(D_np)
+
+    def kernel(b_ref, x0_ref, sig_ref, tau_ref, ft_ref, th_ref,
+               *mat_refs):
+        out_ref = mat_refs[-1]
+        Ds = [m[:] for m in mat_refs[:n_minor]]
+        DTs = [m[:] for m in mat_refs[n_minor:2 * n_minor]]
+        b = b_ref[:]
+        x = x0_ref[:]
+
+        def grad_comp(u, i):
+            ax = ndim - 1 - i
+            if ax >= ndim - 2:
+                t = _minor_matmul(u, Ds[ax - (ndim - 2)], ax, ndim)
+            else:
+                t = _fwd_diff(u, ax)
+            return t * inv_s[i]
+
+        def div_acc(comps):
+            out = None
+            for i in range(ndim):
+                ax = ndim - 1 - i
+                if ax >= ndim - 2:
+                    t = _minor_matmul(comps[i], DTs[ax - (ndim - 2)],
+                                      ax, ndim)
+                else:
+                    t = _fwd_diff_adj(comps[i], ax)
+                t = t * inv_s[i]
+                out = t if out is None else out + t
+            return out
+
+        def body(t, carry):
+            x, x_mean, p = carry
+            sigma = sig_ref[t, 0]
+            tau = tau_ref[t, 0]
+            ft = ft_ref[t, 0]      # τ·λ — the primal prox step
+            theta = th_ref[t, 0]
+
+            # dual ascent + conjugate prox (componentwise projection;
+            # Huber shrinks by 1/(1+σγ) first)
+            def prox_conj(q):
+                if huber:
+                    q = q / (1.0 + sigma * gamma_h)
+                return q / jnp.maximum(1.0, jnp.abs(q))
+
+            p = tuple(prox_conj(p[i] + sigma * grad_comp(x_mean, i))
+                      for i in range(ndim))
+
+            # primal prox at x − τ·Bᵀp with step τλ, x0 = b
+            z = x - tau * div_acc(p)
+            if ell1:
+                d = z - b
+                x_new = b + jnp.maximum(jnp.abs(d) - ft, 0.0) * jnp.sign(d)
+            else:
+                x_new = (z + ft * b) / (1.0 + ft)
+
+            x_mean = x_new + theta * (x_new - x)
+            return (x_new, x_mean, p)
+
+        p0 = tuple(jnp.zeros_like(x) for _ in range(ndim))
+        x, _, _ = lax.fori_loop(0, iterations, body, (x, x, p0))
+        out_ref[:] = x
+
+    mats = [jnp.asarray(D) for D in D_all]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((iterations, 1), memory_space=pltpu.SMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        in_specs=[vmem, vmem, smem, smem, smem, smem]
+        + [vmem] * len(mats),
+        out_specs=vmem,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def solve(b, x0, alpha, L2):
+        sigma, tau, ft, theta = _pd_schedules(alpha, L2, iterations,
+                                              alg_type, dtype)
+        return call(jnp.asarray(b, dtype), jnp.asarray(x0, dtype),
+                    sigma[:, None], tau[:, None], ft[:, None],
+                    theta[:, None], *mats)
 
     return solve

@@ -74,7 +74,7 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
                    minimizer="lsmr", iter_max=10,
                    bounds=(0.0, np.inf), axis_name=None,
                    normal_A=None, normal_B=None, At_b=None,
-                   irls_cg_iters=8):
+                   irls_cg_iters=8, normal_M=None):
     """Return the minimizer estimate. Pure function; callers jit.
 
     ``A/A_adj`` map the solution space to data space; ``B/B_adj`` to the
@@ -103,11 +103,16 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
 
     if minimizer == "cg":
         alpha_t = jnp.asarray(alpha, dtype)
-        nA = normal_A if normal_A is not None else (lambda v: A_adj(A(v)))
-        nB = normal_B if normal_B is not None else (lambda v: B_adj(B(v)))
+        if normal_M is not None:
+            apply_M = lambda v: normal_M(v, alpha_t)
+        else:
+            nA = (normal_A if normal_A is not None
+                  else (lambda v: A_adj(A(v))))
+            nB = (normal_B if normal_B is not None
+                  else (lambda v: B_adj(B(v))))
 
-        def apply_M(v):
-            return nA(v) + alpha_t * nB(v)
+            def apply_M(v):
+                return nA(v) + alpha_t * nB(v)
 
         rhs = (At_b if At_b is not None else A_adj(b)) \
             + alpha_t * B_adj(b_reg)

@@ -97,3 +97,167 @@ def test_fused_admm_kernel_2d(rng):
     x_fused = solve(b, b, 0.02, 0.5)
     np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def _pd_reference(shape, rtype, alg_type, b, alpha, L2, iterations,
+                  rng=None):
+    """XLA-path PD denoise with the exact CLI prox wiring."""
+    from functools import partial
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops import prox as prox_ops
+    from nsol_tpu.solvers.primal_dual import primal_dual_solve
+
+    bj = jnp.asarray(b)
+    if rtype.endswith("L1"):
+        prox_f = lambda x, tau: prox_ops.prox_ell1_denoising(x, tau, bj)
+    else:
+        prox_f = lambda x, tau: prox_ops.prox_ell2_denoising(x, tau, bj)
+    prox_g_conj = (prox_ops.prox_tv_conj if rtype.startswith("TV")
+                   else prox_ops.prox_huber_conj)
+    grad_op, grad_adj = G.make_gradient_operators()
+    x, _ = jax.jit(partial(
+        primal_dual_solve, prox_f, prox_g_conj, grad_op, grad_adj,
+        iterations=iterations, alg_type=alg_type))(
+            bj, jnp.float32(alpha), jnp.float32(L2))
+    return np.asarray(x)
+
+
+def test_fused_pd_denoise_kernel_matches_xla_path(rng):
+    """Fused VMEM PD denoiser == primal_dual_solve for every
+    reconstruction type and step-size schedule (2-D)."""
+    from nsol_tpu.ops.pallas.fused import (
+        make_fused_pd_denoise_solver, fused_pd_fits_vmem,
+    )
+
+    shape = (24, 16)
+    assert fused_pd_fits_vmem(shape)
+    b = rng.rand(*shape).astype(np.float32)
+
+    for rtype, alg in (("TVL2", "ALG2"), ("TVL1", "ALG2"),
+                       ("HuberL2", "ALG3"), ("HuberL1", "ALG2_AHMOD"),
+                       ("TVL2", "ALG3"), ("HuberL2", "ALG2")):
+        x_ref = _pd_reference(shape, rtype, alg, b, 0.3, 8.0, 12)
+        solve = make_fused_pd_denoise_solver(
+            shape, rtype, alg_type=alg, iterations=12, interpret=True)
+        x_fused = np.asarray(solve(b, b, 0.3, 8.0))
+        np.testing.assert_allclose(x_fused, x_ref, atol=2e-6, rtol=1e-5,
+                                   err_msg="%s/%s" % (rtype, alg))
+
+
+def test_fused_pd_denoise_kernel_3d(rng):
+    """3-D variant (the reference's L2=8-even-in-3-D quirk rides the
+    runtime L2 scalar, so the kernel is agnostic to it)."""
+    from nsol_tpu.ops.pallas.fused import make_fused_pd_denoise_solver
+
+    shape = (12, 16, 16)
+    b = rng.rand(*shape).astype(np.float32)
+    x_ref = _pd_reference(shape, "TVL2", "ALG2", b, 0.5, 8.0, 8)
+    solve = make_fused_pd_denoise_solver(
+        shape, "TVL2", alg_type="ALG2", iterations=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(solve(b, b, 0.5, 8.0)), x_ref,
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_fused_pd_denoise_alpha_sweep_no_retrace(rng):
+    """alpha/L2 are runtime scalars: two different alphas through the SAME
+    solve callable must both match the XLA path."""
+    from nsol_tpu.ops.pallas.fused import make_fused_pd_denoise_solver
+
+    shape = (16, 16)
+    b = rng.rand(*shape).astype(np.float32)
+    solve = make_fused_pd_denoise_solver(
+        shape, "TVL2", alg_type="ALG2", iterations=10, interpret=True)
+    for alpha in (0.1, 0.9):
+        x_ref = _pd_reference(shape, "TVL2", "ALG2", b, alpha, 8.0, 10)
+        np.testing.assert_allclose(np.asarray(solve(b, b, alpha, 8.0)),
+                                   x_ref, atol=2e-6, rtol=1e-5)
+
+
+def test_blocked_normal_operator_matches_fused_normal(rng):
+    """Streaming z-blocked ``AᵀA + ρDᵀD`` == make_normal_blur_operator +
+    ρ·gradient_normal (wrap blur vs zero-boundary Laplacian, both exact)."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops.conv import make_normal_blur_operator
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    v = rng.rand(*shape).astype(np.float32)
+
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    want = np.asarray(jax.jit(
+        lambda u: nA(u) + 0.37 * G.gradient_normal(u))(jnp.asarray(v)))
+
+    apply_M = make_blocked_normal_operator(shape, cov, block=8,
+                                           interpret=True)
+    got = np.asarray(apply_M(v, 0.37))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
+def test_blocked_normal_operator_rho_runtime_and_spacing(rng):
+    """rho is a runtime scalar (two values through one callable) and voxel
+    spacing flows into both the blur kernel and the Laplacian scales."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops.conv import make_normal_blur_operator
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
+
+    shape = (24, 16, 16)
+    cov = np.diag([1.5, 0.8, 0.8])
+    spacing = np.array([1.25, 0.8, 2.0])
+    v = rng.rand(*shape).astype(np.float32)
+
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   spacing=spacing, dtype=np.float32)
+    apply_M = make_blocked_normal_operator(shape, cov, spacing=spacing,
+                                           block=8, interpret=True)
+    for rho in (0.0, 1.7):
+        want = np.asarray(jax.jit(
+            lambda u: nA(u)
+            + rho * G.gradient_normal(u, spacing))(jnp.asarray(v)))
+        np.testing.assert_allclose(np.asarray(apply_M(v, rho)), want,
+                                   atol=2e-5, rtol=1e-5,
+                                   err_msg="rho=%g" % rho)
+
+
+def test_admm_solve_with_blocked_normal_M(rng):
+    """admm_solve(normal_M=<blocked kernel>) == admm_solve with the
+    separate fused normal operators — the scale-path integration."""
+    import scipy.ndimage as ndi
+    from functools import partial
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops import matmul_ops as MM
+    from nsol_tpu.ops.conv import (separable_factors,
+                                   make_normal_blur_operator)
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
+    from nsol_tpu.solvers.admm import admm_solve
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = ndi.convolve(x_true, kern, mode="wrap").astype(np.float32)
+
+    factors = separable_factors(
+        K.gaussian_kernel(cov, alpha_cut=3, dtype=np.float64))
+    A = MM.matmul_convolve_fn(factors, shape, np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+
+    bj = jnp.asarray(b)
+    br = jnp.zeros((3,) + shape, jnp.float32)
+    x_ref, _ = jax.jit(partial(
+        admm_solve, A, A, Bg, Bg_adj, iterations=4, iter_max=5,
+        minimizer="cg", normal_A=nA, normal_B=G.gradient_normal))(
+            bj, br, bj, jnp.float32(0.01), jnp.float32(0.5))
+
+    apply_M = make_blocked_normal_operator(shape, cov, block=8,
+                                           interpret=True)
+    x_blk, _ = jax.jit(partial(
+        admm_solve, A, A, Bg, Bg_adj, iterations=4, iter_max=5,
+        minimizer="cg", normal_M=apply_M))(
+            bj, br, bj, jnp.float32(0.01), jnp.float32(0.5))
+    np.testing.assert_allclose(np.asarray(x_blk), np.asarray(x_ref),
+                               atol=2e-5, rtol=1e-5)
