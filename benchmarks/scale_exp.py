@@ -93,6 +93,43 @@ def probe_gradient_normal_stencil():
             "ms": round(per * 1e3, 3)}
 
 
+def probe_normal_blocked():
+    """Fused AᵀA + ρDᵀD in ONE streaming Pallas pass (ops/pallas/blocked)."""
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
+
+    apply_M = make_blocked_normal_operator(SHAPE, COV)
+    x = jnp.asarray(np.random.RandomState(0).rand(*SHAPE).astype(DTYPE))
+
+    def f(v):
+        y = apply_M(v, jnp.asarray(0.5, DTYPE))
+        return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+
+    g = jit_closed(f, (x,))
+    np.asarray(g(x)[:1, :1, :1])
+    per = _chain(g, x)
+    return {"probe": "normal_M_blocked_pallas_256", "ms": round(per * 1e3, 3)}
+
+
+def probe_normal_matmul_plus_lap():
+    """The XLA apply_M the CG actually runs: matmul normal blur + ρ·DᵀD
+    matmul Laplacian in one jit (what the blocked kernel replaces)."""
+    kern = K.gaussian_kernel(COV, alpha_cut=3, dtype=np.float64)
+    factors = C.separable_factors(kern)
+    nfac = [np.convolve(f, f[::-1]) for f in factors]
+    nA = MM.matmul_convolve_fn(nfac, SHAPE, DTYPE)
+    nB = MM.matmul_gradient_normal_fn(SHAPE, dtype=DTYPE)
+    x = jnp.asarray(np.random.RandomState(0).rand(*SHAPE).astype(DTYPE))
+
+    def f(v):
+        y = nA(v) + 0.5 * nB(v)
+        return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+
+    g = jit_closed(f, (x,))
+    np.asarray(g(x)[:1, :1, :1])
+    per = _chain(g, x)
+    return {"probe": "normal_M_matmul_xla_256", "ms": round(per * 1e3, 3)}
+
+
 def probe_cg_elementwise():
     """One CG iteration's elementwise update chain, operator replaced by a
     scalar multiply — isolates the non-operator HBM traffic."""
@@ -120,6 +157,7 @@ def probe_cg_elementwise():
 def main():
     probes = (probe_normal_matmul, probe_normal_roll,
               probe_gradient_normal, probe_gradient_normal_stencil,
+              probe_normal_matmul_plus_lap, probe_normal_blocked,
               probe_cg_elementwise)
     sel = probes
     if len(sys.argv) > 1:

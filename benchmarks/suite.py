@@ -189,6 +189,46 @@ def config2_lena_robust_deconv_irls():
                         irls_cg_iters=6)
 
 
+def config2_lena_robust_deconv_fused():
+    """Config 2 with the whole robust ADMM solve (IRLS inner engine) as
+    ONE VMEM-resident Mosaic program — same sweep/CG budget as the XLA
+    IRLS entry, objective reported for parity."""
+    from nsol_tpu.ops import losses as lf
+    from nsol_tpu.ops.pallas.fused import make_fused_admm_solver
+
+    blurred = _read("2D_Lena_256_blur_noise.png")
+    x_scale = float(blurred.max())
+    b = jnp.asarray(blurred / x_scale)
+    cov = np.diag([1.0, 1.0])
+    A, _ = C.make_blur_operators(cov, alpha_cut=3, shape=blurred.shape,
+                                 method="auto", dtype=DTYPE)
+    Bg, _ = G.make_gradient_operators()
+    alpha = jnp.asarray(0.01, DTYPE)
+
+    fused = make_fused_admm_solver(blurred.shape, cov, iterations=10,
+                                   iter_max=3, data_loss="huber",
+                                   irls_cg_iters=6)
+
+    def solve(x0):
+        x = fused(b, x0, alpha, jnp.asarray(0.5, DTYPE),
+                  data_loss_scale=jnp.asarray(1.0, DTYPE))
+        r = (A(x) - b).reshape(-1)
+        g = Bg(x)
+        obj = 0.5 * jnp.sum(lf.huber(r * r, f_scale=1.0)) \
+            + alpha * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
+        return x, obj
+
+    f = jit_closed(solve, (b,))
+    x0_out, obj = f(b)
+    np.asarray(x0_out)
+    objective = float(np.asarray(obj))
+    per = _chain_time(f, b, n=5)
+    return {"config": "lena256_huber_admm_irls_10it_fused",
+            "iters_per_sec": round(10 / per, 1),
+            "ms_per_solve": round(per * 1e3, 3),
+            "objective": round(objective, 2)}
+
+
 def config4_man1024_alpha_sweep():
     """64-alpha vmapped L-curve sweep over Man 1024 TV-L2 denoising."""
     man = _read("2D_Man_1024.png")
@@ -276,11 +316,55 @@ def config_scale_256cubed():
             "s_per_solve": round(per, 3)}
 
 
+def config_scale_256cubed_blocked():
+    """256³ scale config with the inner CG's whole SPD apply fused into the
+    streaming z-blocked Pallas kernel (ops/pallas/blocked.py): one HBM
+    read (+ wrap halo) and one write per ``AᵀA + ρDᵀD`` application
+    instead of the matmul path's per-axis sweeps."""
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
+    from nsol_tpu.solvers.admm import admm_solve as _admm_solve
+
+    shape = (256, 256, 256)
+    rng = np.random.RandomState(0)
+    x_true = (rng.rand(*shape) > 0.7).astype(DTYPE)
+    cov = np.diag([1.0] * 3)
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="auto", dtype=DTYPE)
+    normal_M = make_blocked_normal_operator(shape, cov)
+    Bg, Bg_adj = G.make_gradient_operators()
+    xj = jnp.asarray(x_true)
+    b = jit_closed(A, (xj,))(xj)
+    br = jnp.zeros((3,) + shape, DTYPE)
+    al = jnp.asarray(0.01, DTYPE)
+    rh = jnp.asarray(0.5, DTYPE)
+
+    def solve(bi, x0):
+        x, _ = _admm_solve(A, A_adj, Bg, Bg_adj, bi, br, x0, al, rh,
+                           iterations=50, iter_max=10, minimizer="cg",
+                           normal_M=normal_M)
+        return x
+
+    f = jit_closed(solve, (b, b))
+    np.asarray(f(b, b)[0, 0, 0])
+    n = 3
+    t0 = time.perf_counter()
+    xi = b
+    for _ in range(n):
+        xi = f(b, xi)
+    np.asarray(xi[0, 0, 0])
+    per = (time.perf_counter() - t0) / n
+    return {"config": "synthetic_256cubed_tv_admm_cg_50it_blocked",
+            "iters_per_sec": round(50 / per, 1),
+            "s_per_solve": round(per, 3)}
+
+
 def main():
     all_configs = (config1_lena_pd_denoise, config1_lena_pd_denoise_fused,
                    config2_lena_robust_deconv,
                    config2_lena_robust_deconv_irls,
-                   config4_man1024_alpha_sweep, config_scale_256cubed)
+                   config2_lena_robust_deconv_fused,
+                   config4_man1024_alpha_sweep, config_scale_256cubed,
+                   config_scale_256cubed_blocked)
     configs = all_configs
     if len(sys.argv) > 1:
         configs = tuple(f for f in all_configs

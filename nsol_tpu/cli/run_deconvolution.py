@@ -96,6 +96,58 @@ def main():
         except Exception:
             normal_B = lambda x: G.gradient_normal(x, spacing)
 
+    # Fused whole-solve Pallas path: ADMM TVL2 deconvolution with the
+    # normal-equation inner engines ("cg" for the linear loss, "irls" for
+    # robust losses) runs as ONE VMEM-resident Mosaic program on TPU when
+    # the volume fits and no per-iteration measures are requested
+    # (parity: tests/test_pallas.py; speed: BASELINE.md).
+    fused_jit = None
+    if (args.solver == "ADMM" and args.reconstruction_type == "TVL2"
+            and x_ref is None
+            and ((args.data_loss == "linear" and args.minimizer == "cg")
+                 or (args.data_loss != "linear"
+                     and args.minimizer == "irls"))):
+        import jax
+        import jax.numpy as jnp
+        from nsol_tpu.jitutil import jit_closed
+        from nsol_tpu.ops.pallas import fused as _fused
+
+        if (jax.default_backend() != "cpu" and dimension in (2, 3)
+                and _fused.fused_admm_fits_vmem(observed_nda.shape)):
+            fused_admm = _fused.make_fused_admm_solver(
+                observed_nda.shape, cov, spacing=spacing,
+                iterations=args.iterations, iter_max=args.iter_max,
+                data_loss=args.data_loss,
+                irls_cg_iters=args.irls_cg_iters)
+            bj = jnp.asarray(b / x_scale, jnp.float32)
+            rho0 = jnp.asarray(args.rho, bj.dtype)
+            dls0 = jnp.asarray(args.data_loss_scale, bj.dtype)
+            a0 = jnp.asarray(float(alphas[0]), bj.dtype)
+            fused_jit = jit_closed(
+                lambda x0, a: fused_admm(bj, x0, a, rho0, dls0),
+                (bj, a0))
+
+    if fused_jit is not None:
+        recons = []
+        for i, alpha in enumerate(alphas):
+            import jax.numpy as jnp
+
+            ph.print_subtitle("Iteration %d/%d" % (i + 1, len(alphas)))
+            tm = ph.start_timing()
+            bj = jnp.asarray(b / x_scale, jnp.float32)
+            recon = np.asarray(
+                fused_jit(bj, jnp.asarray(float(alpha), bj.dtype)))
+            recon = recon * x_scale
+            recons.append(recon)
+            print("\nComputational time %s: %s"
+                  % (args.reconstruction_type, ph.stop_timing(tm)))
+            if args.result is not None:
+                DataWriter(recon, args.result,
+                           data_reader.get_image_nifti()).write_data()
+        if args.verbose and args.dir_output_figures is not None:
+            _save_figures(args, observed_nda, recons, alphas, [], {})
+        return 0
+
     solver_interface = DeconvolutionSolverStudyInterface(
         A=A, A_adj=A_adj, D=grad_op, D_adj=grad_adj, b=b, x0=x0,
         alpha=alphas[0], x_scale=x_scale, data_loss=args.data_loss,

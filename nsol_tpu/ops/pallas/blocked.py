@@ -185,7 +185,7 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             const((Y, Y)), const((X, X)), const((Y, Y)), const((X, X)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((block, Y, X), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(shape, dtype),

@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nsol_tpu.ops.grad import _spacing_array
+from nsol_tpu.ops import losses as lf
 
 __all__ = ["make_fused_admm_solver", "fused_admm_fits_vmem",
            "make_fused_pd_denoise_solver", "fused_pd_fits_vmem"]
@@ -128,9 +129,34 @@ def _lap_axis0_stencil(u, inv_h2):
     return t * inv_h2
 
 
+def _cg_inkernel(apply_M, rhs, x0, iters):
+    """Fixed-trip CG mirroring solvers/cg.py::cg — same zero-guards, so
+    the fused kernels match the XLA paths step for step."""
+    r = rhs - apply_M(x0)
+    gamma = jnp.sum(r * r)
+    p = r
+
+    def body(_, c):
+        x, r, p, gamma = c
+        q = apply_M(p)
+        pq = jnp.sum(p * q)
+        a = jnp.where(pq > 0, gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
+        x = x + a * p
+        r = r - a * q
+        gamma_new = jnp.sum(r * r)
+        beta = jnp.where(gamma > 0,
+                         gamma_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
+        p = r + beta * p
+        return (x, r, p, gamma_new)
+
+    x, _, _, _ = lax.fori_loop(0, iters, body, (x0, r, p, gamma))
+    return x
+
+
 def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
                            iterations=10, iter_max=10, dtype=jnp.float32,
                            precision=lax.Precision.HIGHEST,
+                           data_loss="linear", irls_cg_iters=8,
                            interpret=False):
     """Build ``solve(b, x0, alpha, rho) -> x`` as one Pallas program.
 
@@ -142,6 +168,17 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
     dot lowering), and DEFAULT breaks CG convergence on this problem
     (BASELINE.md precision ladder) — so HIGHEST is both the default and
     the only parity-preserving choice in-kernel.
+
+    ``data_loss="linear"``: the x-update is ``iter_max`` warm-started CG
+    iterations on the fused normal equations (the flagship TV-L2 path).
+    A robust loss (huber/soft_l1/cauchy/arctan) mirrors
+    ``tikhonov_solve(minimizer="irls")`` instead: ``iter_max`` MM sweeps,
+    each freezing the weights ``ρ'(r²)`` and the active box constraints,
+    then ``irls_cg_iters`` masked-CG iterations — including the
+    reference's b_reg-ignoring quirk of the robust minimize path
+    (nsol/tikhonov_linear_solver.py:276-280), so it converges to the same
+    point as the XLA path. ``solve`` then takes an extra runtime
+    ``data_loss_scale`` argument.
     """
     from nsol_tpu.ops.kernels import gaussian_kernel
     from nsol_tpu.ops.conv import separable_factors
@@ -191,9 +228,18 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
             out = t if out is None else out + t
         return out
 
-    def kernel(b_ref, x0_ref, alpha_ref, rho_ref, *mat_refs):
-        out_ref = mat_refs[-1]
-        mats = [m[:] for m in mat_refs[:-1]]
+    robust = data_loss != "linear"
+    grad_rho = lf.gradient_loss(data_loss) if robust else None
+
+    def kernel(b_ref, x0_ref, alpha_ref, rho_ref, *rest_refs):
+        out_ref = rest_refs[-1]
+        if robust:
+            dls = rest_refs[0][0, 0]
+            mat_refs = rest_refs[1:-1]
+        else:
+            dls = None
+            mat_refs = rest_refs[:-1]
+        mats = [m[:] for m in mat_refs]
         A_m = mats[:len(A_mats)]
         N_m = mats[len(A_mats):len(A_mats) + len(N_mats)]
         T_m = mats[len(A_mats) + len(N_mats):]
@@ -216,41 +262,43 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
         def apply_M(u):
             return conv_all(u, N_taps, N_m) + rho * lap(u, T_m)
 
-        At_b = conv_all(b, A_taps, A_m)  # A symmetric: Aᵀb = Ab
+        # A symmetric: Aᵀb = Ab (loop-invariant for the linear CG path)
+        At_b = None if robust else conv_all(b, A_taps, A_m)
 
         # v0 = Bx0, w0 = 0 (solvers/admm.py:55-56)
         v = tuple(grad_comp(x, i) for i in range(ndim))
         w = tuple(jnp.zeros_like(x) for _ in range(ndim))
         tau = alpha / rho
 
+        def irls_sweep(_, x):
+            # one MM sweep of tikhonov_solve(minimizer="irls") with
+            # alpha=rho, bounds (0, ∞), b_reg ignored (the reference's
+            # robust minimize-path quirk) — solvers/tikhonov.py:156-204
+            r = conv_all(x, A_taps, A_m) - b
+            wts = grad_rho(r * r, f_scale=dls)
+            g = conv_all(wts * r, A_taps, A_m) + rho * lap(x, T_m)
+            free = jnp.where(jnp.logical_and(x <= 0.0, g > 0.0),
+                             0.0, 1.0).astype(x.dtype)
+
+            def apply_W(u):
+                uf = free * u
+                Auf = conv_all(uf, A_taps, A_m)
+                return free * (conv_all(wts * Auf, A_taps, A_m)
+                               + rho * lap(uf, T_m)) + (u - uf)
+
+            step = _cg_inkernel(apply_W, -free * g, jnp.zeros_like(x),
+                                irls_cg_iters)
+            return jnp.maximum(x + step, 0.0)
+
         def outer(_, carry):
             x, v, w = carry
-            rhs = At_b + rho * div_acc(
-                tuple(v[i] - w[i] for i in range(ndim)))
-
-            # inner CG, mirroring solvers/cg.py::cg exactly
-            r = rhs - apply_M(x)
-            gamma = jnp.sum(r * r)
-            p = r
-
-            def cg_body(_, c):
-                x, r, p, gamma = c
-                q = apply_M(p)
-                pq = jnp.sum(p * q)
-                a = jnp.where(pq > 0, gamma / jnp.where(pq > 0, pq, 1.0),
-                              0.0)
-                x = x + a * p
-                r = r - a * q
-                gamma_new = jnp.sum(r * r)
-                beta = jnp.where(gamma > 0,
-                                 gamma_new / jnp.where(gamma > 0, gamma,
-                                                       1.0), 0.0)
-                p = r + beta * p
-                return (x, r, p, gamma_new)
-
-            x, _, _, _ = lax.fori_loop(0, iter_max, cg_body,
-                                       (x, r, p, gamma))
-            x = jnp.maximum(x, 0.0)  # reference default bounds (0, ∞)
+            if robust:
+                x = lax.fori_loop(0, iter_max, irls_sweep, x)
+            else:
+                rhs = At_b + rho * div_acc(
+                    tuple(v[i] - w[i] for i in range(ndim)))
+                x = _cg_inkernel(apply_M, rhs, x, iter_max)
+                x = jnp.maximum(x, 0.0)  # reference bounds (0, ∞)
 
             # vectorial soft-threshold (ops/prox.py:61-73)
             t = tuple(grad_comp(x, i) + w[i] for i in range(ndim))
@@ -276,7 +324,8 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
-        in_specs=[vmem, vmem, smem, smem] + [vmem] * len(mats),
+        in_specs=[vmem, vmem, smem, smem] + ([smem] if robust else [])
+        + [vmem] * len(mats),
         out_specs=vmem,
         # The whole-solve working set (~24 MiB at 64³: x, b, Aᵀb, v, w,
         # CG r/p/q + op temporaries) exceeds the conservative 16 MiB
@@ -286,11 +335,13 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
         interpret=interpret,
     )
 
-    def solve(b, x0, alpha, rho):
+    def solve(b, x0, alpha, rho, data_loss_scale=1.0):
         a = jnp.full((1, 1), alpha, dtype)
         r = jnp.full((1, 1), rho, dtype)
+        extra = ((jnp.full((1, 1), data_loss_scale, dtype),) if robust
+                 else ())
         return call(jnp.asarray(b, dtype), jnp.asarray(x0, dtype), a, r,
-                    *mats)
+                    *extra, *mats)
 
     return solve
 

@@ -261,3 +261,44 @@ def test_admm_solve_with_blocked_normal_M(rng):
             bj, br, bj, jnp.float32(0.01), jnp.float32(0.5))
     np.testing.assert_allclose(np.asarray(x_blk), np.asarray(x_ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_fused_admm_robust_irls_matches_xla_path(rng):
+    """Fused ADMM kernel with a robust loss == admm_solve(minimizer='irls')
+    with the same operators — MM sweeps, active-set freeze, masked CG,
+    b_reg-ignoring quirk and all."""
+    import scipy.ndimage as ndi
+    from functools import partial
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops import matmul_ops as MM
+    from nsol_tpu.ops.conv import separable_factors
+    from nsol_tpu.ops.pallas.fused import make_fused_admm_solver
+    from nsol_tpu.solvers.admm import admm_solve
+
+    shape = (24, 16)
+    cov = np.diag([0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    b = ndi.convolve(rng.rand(*shape), kern, mode="wrap").astype(np.float32)
+
+    factors = separable_factors(
+        K.gaussian_kernel(cov, alpha_cut=3, dtype=np.float64))
+    A = MM.matmul_convolve_fn(factors, shape, np.float32)
+    nB = MM.matmul_gradient_normal_fn(shape, dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+
+    bj = jnp.asarray(b)
+    br = jnp.zeros((2,) + shape, jnp.float32)
+    for loss, dls in (("huber", 1.0), ("soft_l1", 0.3)):
+        x_ref, _ = jax.jit(partial(
+            admm_solve, A, A, Bg, Bg_adj, iterations=3, iter_max=3,
+            minimizer="irls", irls_cg_iters=5, data_loss=loss,
+            normal_B=nB))(
+                bj, br, bj, jnp.float32(0.02), jnp.float32(0.5),
+                data_loss_scale=jnp.float32(dls))
+        solve = make_fused_admm_solver(
+            shape, cov, iterations=3, iter_max=3, data_loss=loss,
+            irls_cg_iters=5, dtype=jnp.float32, interpret=True)
+        x_fused = solve(b, b, 0.02, 0.5, data_loss_scale=dls)
+        np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_ref),
+                                   atol=2e-5, rtol=1e-5, err_msg=loss)
