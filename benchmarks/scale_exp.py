@@ -130,6 +130,28 @@ def probe_normal_matmul_plus_lap():
     return {"probe": "normal_M_matmul_xla_256", "ms": round(per * 1e3, 3)}
 
 
+def probe_normal_blocked_default_precision():
+    """Diagnostic ONLY (fails CG parity — BASELINE precision ladder): the
+    blocked apply with 1-pass DEFAULT matmuls instead of 6-pass HIGHEST.
+    The gap bounds how MXU-bound the streaming kernel is."""
+    from jax import lax
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
+
+    apply_M = make_blocked_normal_operator(
+        SHAPE, COV, precision=lax.Precision.DEFAULT)
+    x = jnp.asarray(np.random.RandomState(0).rand(*SHAPE).astype(DTYPE))
+
+    def f(v):
+        y = apply_M(v, jnp.asarray(0.5, DTYPE))
+        return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+
+    g = jit_closed(f, (x,))
+    np.asarray(g(x)[:1, :1, :1])
+    per = _chain(g, x)
+    return {"probe": "normal_M_blocked_default_prec_256",
+            "ms": round(per * 1e3, 3)}
+
+
 def probe_cg_elementwise():
     """One CG iteration's elementwise update chain, operator replaced by a
     scalar multiply — isolates the non-operator HBM traffic."""
@@ -158,6 +180,7 @@ def main():
     probes = (probe_normal_matmul, probe_normal_roll,
               probe_gradient_normal, probe_gradient_normal_stencil,
               probe_normal_matmul_plus_lap, probe_normal_blocked,
+              probe_normal_blocked_default_precision,
               probe_cg_elementwise)
     sel = probes
     if len(sys.argv) > 1:

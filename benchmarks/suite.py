@@ -358,13 +358,96 @@ def config_scale_256cubed_blocked():
             "s_per_solve": round(per, 3)}
 
 
+def config_scale_256cubed_blocked_cg():
+    """256³ scale config with the FULLY streaming solver: every CG
+    iteration = one fused blocked Pallas step (direction update + SPD
+    apply + partial dots) + one multi-output XLA fusion
+    (ops/pallas/blocked.py::blocked_admm_solve)."""
+    from nsol_tpu.ops.pallas.blocked import blocked_admm_solve
+
+    shape = (256, 256, 256)
+    rng = np.random.RandomState(0)
+    x_true = (rng.rand(*shape) > 0.7).astype(DTYPE)
+    cov = np.diag([1.0] * 3)
+    A, _ = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                 method="auto", dtype=DTYPE)
+    xj = jnp.asarray(x_true)
+    b = jit_closed(A, (xj,))(xj)
+
+    solve = blocked_admm_solve(shape, cov, iterations=50, iter_max=10)
+    al = jnp.asarray(0.01, DTYPE)
+    rh = jnp.asarray(0.5, DTYPE)
+
+    def run(bi, x0):
+        return solve(bi, x0, al, rh)
+
+    f = jit_closed(run, (b, b))
+    np.asarray(f(b, b)[0, 0, 0])
+    n = 3
+    t0 = time.perf_counter()
+    xi = b
+    for _ in range(n):
+        xi = f(b, xi)
+    np.asarray(xi[0, 0, 0])
+    per = (time.perf_counter() - t0) / n
+    return {"config": "synthetic_256cubed_tv_admm_cg_50it_blocked_cg",
+            "iters_per_sec": round(50 / per, 1),
+            "s_per_solve": round(per, 3)}
+
+
+def config_scale_512cubed_blocked_cg():
+    """512³ (134M voxels, BASELINE config 5's volume) on ONE chip with the
+    single-input blocked ``AᵀA+ρDᵀD`` kernel under the XLA CG — the
+    single-chip bound that the multi-host sharded path (parallel/mesh.py)
+    scales out from. (The two-input fused CG-step kernel register-spills
+    past VMEM at 512-wide planes with block 8 — BASELINE.md.)"""
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
+    from nsol_tpu.solvers.admm import admm_solve as _admm_solve
+
+    shape = (512, 512, 512)
+    rng = np.random.RandomState(0)
+    x_true = (rng.rand(*shape) > 0.7).astype(DTYPE)
+    cov = np.diag([1.0] * 3)
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="auto", dtype=DTYPE)
+    normal_M = make_blocked_normal_operator(shape, cov)
+    Bg, Bg_adj = G.make_gradient_operators()
+    xj = jnp.asarray(x_true)
+    b = jit_closed(A, (xj,))(xj)
+    del x_true, xj
+    br = jnp.zeros((3,) + shape, DTYPE)
+    al = jnp.asarray(0.01, DTYPE)
+    rh = jnp.asarray(0.5, DTYPE)
+
+    def run(bi, x0):
+        x, _ = _admm_solve(A, A_adj, Bg, Bg_adj, bi, br, x0, al, rh,
+                           iterations=50, iter_max=10, minimizer="cg",
+                           normal_M=normal_M)
+        return x
+
+    f = jit_closed(run, (b, b))
+    np.asarray(f(b, b)[0, 0, 0])
+    n = 2
+    t0 = time.perf_counter()
+    xi = b
+    for _ in range(n):
+        xi = f(b, xi)
+    np.asarray(xi[0, 0, 0])
+    per = (time.perf_counter() - t0) / n
+    return {"config": "synthetic_512cubed_tv_admm_cg_50it_blocked_cg",
+            "iters_per_sec": round(50 / per, 1),
+            "s_per_solve": round(per, 3)}
+
+
 def main():
     all_configs = (config1_lena_pd_denoise, config1_lena_pd_denoise_fused,
                    config2_lena_robust_deconv,
                    config2_lena_robust_deconv_irls,
                    config2_lena_robust_deconv_fused,
                    config4_man1024_alpha_sweep, config_scale_256cubed,
-                   config_scale_256cubed_blocked)
+                   config_scale_256cubed_blocked,
+                   config_scale_256cubed_blocked_cg,
+                   config_scale_512cubed_blocked_cg)
     configs = all_configs
     if len(sys.argv) > 1:
         configs = tuple(f for f in all_configs

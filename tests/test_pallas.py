@@ -302,3 +302,71 @@ def test_fused_admm_robust_irls_matches_xla_path(rng):
         x_fused = solve(b, b, 0.02, 0.5, data_loss_scale=dls)
         np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_ref),
                                    atol=2e-5, rtol=1e-5, err_msg=loss)
+
+
+def test_blocked_cg_step_matches_composition(rng):
+    """Fused p'=r+βp ; q=Mp' ; pq=Σp'q == the unfused composition."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops.conv import make_normal_blur_operator
+    from nsol_tpu.ops.pallas.blocked import make_blocked_cg_step
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    r = rng.rand(*shape).astype(np.float32)
+    p = rng.rand(*shape).astype(np.float32)
+
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    step = make_blocked_cg_step(shape, cov, block=8, interpret=True)
+    for beta, rho in ((0.0, 0.5), (0.83, 1.9)):
+        pn_want = r + beta * p
+        q_want = np.asarray(jax.jit(
+            lambda u: nA(u) + rho * G.gradient_normal(u))(
+                jnp.asarray(pn_want)))
+        pn, q, pq = step(r, p, beta, rho)
+        np.testing.assert_allclose(np.asarray(pn), pn_want, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(q), q_want, atol=2e-5,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(pq), float(np.sum(pn_want
+                                                           * q_want)),
+                                   rtol=1e-4)
+
+
+def test_blocked_admm_solve_matches_xla_path(rng):
+    """Full streaming blocked ADMM == admm_solve(minimizer='cg') with the
+    fused normal operators — the past-VMEM scale path, end to end."""
+    import scipy.ndimage as ndi
+    from functools import partial
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops import matmul_ops as MM
+    from nsol_tpu.ops.conv import (separable_factors,
+                                   make_normal_blur_operator)
+    from nsol_tpu.ops.pallas.blocked import blocked_admm_solve
+    from nsol_tpu.solvers.admm import admm_solve
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = ndi.convolve(x_true, kern, mode="wrap").astype(np.float32)
+
+    factors = separable_factors(
+        K.gaussian_kernel(cov, alpha_cut=3, dtype=np.float64))
+    A = MM.matmul_convolve_fn(factors, shape, np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+
+    bj = jnp.asarray(b)
+    br = jnp.zeros((3,) + shape, jnp.float32)
+    x_ref, _ = jax.jit(partial(
+        admm_solve, A, A, Bg, Bg_adj, iterations=4, iter_max=5,
+        minimizer="cg", normal_A=nA, normal_B=G.gradient_normal))(
+            bj, br, bj, jnp.float32(0.01), jnp.float32(0.5))
+
+    solve = blocked_admm_solve(shape, cov, iterations=4, iter_max=5,
+                               block=8, interpret=True)
+    x_blk = solve(b, b, 0.01, 0.5)
+    np.testing.assert_allclose(np.asarray(x_blk), np.asarray(x_ref),
+                               atol=5e-5, rtol=1e-4)
