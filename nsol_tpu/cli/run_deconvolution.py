@@ -112,13 +112,17 @@ def main():
         from nsol_tpu.jitutil import jit_closed
         from nsol_tpu.ops.pallas import fused as _fused
 
-        if (jax.default_backend() != "cpu" and dimension in (2, 3)
+        # NSOL_TPU_FUSED_INTERPRET=1 forces the fused path in Pallas
+        # interpreter mode — lets CPU CI exercise this wiring.
+        interp = bool(os.environ.get("NSOL_TPU_FUSED_INTERPRET"))
+        if ((interp or jax.default_backend() != "cpu")
+                and dimension in (2, 3)
                 and _fused.fused_admm_fits_vmem(observed_nda.shape)):
             fused_admm = _fused.make_fused_admm_solver(
                 observed_nda.shape, cov, spacing=spacing,
                 iterations=args.iterations, iter_max=args.iter_max,
                 data_loss=args.data_loss,
-                irls_cg_iters=args.irls_cg_iters)
+                irls_cg_iters=args.irls_cg_iters, interpret=interp)
             bj = jnp.asarray(b / x_scale, jnp.float32)
             rho0 = jnp.asarray(args.rho, bj.dtype)
             dls0 = jnp.asarray(args.data_loss_scale, bj.dtype)

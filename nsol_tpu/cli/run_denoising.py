@@ -84,11 +84,16 @@ def main():
         from nsol_tpu.jitutil import jit_closed
         from nsol_tpu.ops.pallas import fused as _fused
 
-        if (jax.default_backend() != "cpu" and dimension in (2, 3)
+        # NSOL_TPU_FUSED_INTERPRET=1 forces the fused path in Pallas
+        # interpreter mode — lets CPU CI exercise this wiring.
+        interp = bool(os.environ.get("NSOL_TPU_FUSED_INTERPRET"))
+        if ((interp or jax.default_backend() != "cpu")
+                and dimension in (2, 3)
                 and _fused.fused_pd_fits_vmem(observed_nda.shape)):
             fused_pd = _fused.make_fused_pd_denoise_solver(
                 observed_nda.shape, rtype, alg_type="ALG2",
-                iterations=args.iterations, dtype=bj.dtype)
+                iterations=args.iterations, dtype=bj.dtype,
+                interpret=interp)
             L2 = jnp.asarray(8.0, bj.dtype)  # same quirk as below
             a0 = jnp.asarray(float(alphas[0]), bj.dtype)
             fused_jit = jit_closed(

@@ -224,3 +224,55 @@ def test_study_nii_metadata_roundtrip(tmp_path):
     assert p.returncode == 0, p.stderr[-2000:]
     galleries = [f for f in os.listdir(figs) if "recon" in f]
     assert len(galleries) == 2  # one per alpha
+
+
+def _run_fused(args):
+    """Run a CLI with the fused-kernel path forced on (interpreter mode)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["NSOL_TPU_PLATFORM"] = "cpu"
+    env["NSOL_TPU_FUSED_INTERPRET"] = "1"
+    env["PYTHONPATH"] = REPO
+    return subprocess.run([sys.executable] + args, env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=600)
+
+
+def test_run_denoising_fused_path_matches_xla_cli(tmp_path):
+    """The PD fused-kernel CLI branch produces the same image as the XLA
+    branch (uint8-rounded png round trip)."""
+    from PIL import Image
+
+    obs = os.path.join(DATA, "2D_Lena_256_noise.png")
+    out_xla = str(tmp_path / "xla.png")
+    out_fused = str(tmp_path / "fused.png")
+    base = ["nsol_run_denoising.py", "--observation", obs,
+            "--reconstruction-type", "TVL2", "--iterations", "5",
+            "--alpha", "0.6"]
+    p = _run(base + ["--result", out_xla])
+    assert p.returncode == 0, p.stderr[-2000:]
+    p = _run_fused(base + ["--result", out_fused])
+    assert p.returncode == 0, p.stderr[-2000:]
+    a = np.asarray(Image.open(out_xla), dtype=np.int16)
+    b = np.asarray(Image.open(out_fused), dtype=np.int16)
+    assert np.max(np.abs(a - b)) <= 1  # rounding at the uint8 boundary
+
+
+def test_run_deconvolution_fused_path_matches_xla_cli(tmp_path):
+    """The ADMM+CG fused-kernel CLI branch == the XLA minimizer='cg'
+    branch on the same problem."""
+    from PIL import Image
+
+    obs = os.path.join(DATA, "2D_Lena_256_blur_noise.png")
+    out_xla = str(tmp_path / "xla.png")
+    out_fused = str(tmp_path / "fused.png")
+    base = ["nsol_run_deconvolution.py", "--observation", obs,
+            "--reconstruction-type", "TVL2", "--solver", "ADMM",
+            "--minimizer", "cg", "--iterations", "3", "--iter-max", "4",
+            "--blur", "1", "--alpha", "0.01"]
+    p = _run(base + ["--result", out_xla])
+    assert p.returncode == 0, p.stderr[-2000:]
+    p = _run_fused(base + ["--result", out_fused])
+    assert p.returncode == 0, p.stderr[-2000:]
+    a = np.asarray(Image.open(out_xla), dtype=np.int16)
+    b = np.asarray(Image.open(out_fused), dtype=np.int16)
+    assert np.max(np.abs(a - b)) <= 1
