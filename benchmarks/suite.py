@@ -273,6 +273,44 @@ def config4_man1024_alpha_sweep():
             "iters_per_sec": round(total_solves * 50 / per, 1)}
 
 
+def config4_man1024_alpha_sweep_fused():
+    """Config 4 through the fused PD kernel: 64 alphas vmapped over ONE
+    Mosaic whole-solve program WITH the in-kernel Reg/Data L-curve
+    recording — the same workload as the XLA sweep entry."""
+    from nsol_tpu.ops.pallas.fused import (
+        make_fused_pd_denoise_solver, fused_pd_fits_vmem,
+    )
+
+    man = _read("2D_Man_1024.png")
+    assert fused_pd_fits_vmem(man.shape)
+    x_scale = float(man.max())
+    b = jnp.asarray(man / x_scale)
+    alphas = jnp.linspace(0.01, 1.5, 64, dtype=DTYPE)
+
+    fused = make_fused_pd_denoise_solver(man.shape, "TVL2",
+                                         iterations=50, record=True)
+    L2 = jnp.asarray(8.0, DTYPE)
+
+    def sweep(x0):
+        return jax.vmap(lambda a: fused(b, x0, a, L2))(alphas)
+
+    f = jit_closed(sweep, (b,))
+    x_all, recs = f(b)
+    np.asarray(x_all[0])
+    n = 3
+    t0 = time.perf_counter()
+    xi = b
+    for _ in range(n):
+        x_all, recs = f(xi)
+        xi = x_all[0]
+    np.asarray(xi)
+    per = (time.perf_counter() - t0) / n
+    return {"config": "man1024_tvl2_64alpha_lcurve_vmap_fused",
+            "solves_per_sec": round(64 / per, 2),
+            "s_per_sweep": round(per, 3),
+            "iters_per_sec": round(64 * 50 / per, 1)}
+
+
 def config_scale_256cubed():
     """Synthetic 256³ TV-L2 deconvolution, ADMM + normal-equation CG on the
     MXU path — the single-chip scale demonstration (1 GiB-class working
@@ -395,6 +433,56 @@ def config_scale_256cubed_blocked_cg():
             "s_per_solve": round(per, 3)}
 
 
+def config_scale_256cubed_blocked_high3():
+    """256³ blocked apply with 3-pass emulated-HIGH matmuls (the kernel is
+    ~56 % MXU-pass-bound at HIGHEST — BASELINE.md probe). Reports the
+    converged TV objective of BOTH precisions so the drift is visible."""
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
+    from nsol_tpu.solvers.admm import admm_solve as _admm_solve
+
+    shape = (256, 256, 256)
+    rng = np.random.RandomState(0)
+    x_true = (rng.rand(*shape) > 0.7).astype(DTYPE)
+    cov = np.diag([1.0] * 3)
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="auto", dtype=DTYPE)
+    Bg, Bg_adj = G.make_gradient_operators()
+    xj = jnp.asarray(x_true)
+    b = jit_closed(A, (xj,))(xj)
+    br = jnp.zeros((3,) + shape, DTYPE)
+    al = jnp.asarray(0.01, DTYPE)
+    rh = jnp.asarray(0.5, DTYPE)
+
+    def make_run(normal_M):
+        def run(bi, x0):
+            x, _ = _admm_solve(A, A_adj, Bg, Bg_adj, bi, br, x0, al, rh,
+                               iterations=50, iter_max=10,
+                               minimizer="cg", normal_M=normal_M)
+            r = A(x) - bi
+            g = Bg(x)
+            obj = 0.5 * jnp.sum(r * r) \
+                + al * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
+            return x, obj
+        return run
+
+    out = {"config": "synthetic_256cubed_blocked_high3_vs_highest"}
+    for tag, prec in (("high3", "high3"), ("highest", None)):
+        kw = {} if prec is None else {"precision": prec}
+        normal_M = make_blocked_normal_operator(shape, cov, **kw)
+        f = jit_closed(make_run(normal_M), (b, b))
+        x, obj = f(b, b)
+        out["objective_" + tag] = round(float(np.asarray(obj)), 1)
+        n = 3
+        t0 = time.perf_counter()
+        xi = b
+        for _ in range(n):
+            xi, obj = f(b, xi)
+        np.asarray(xi[0, 0, 0])
+        per = (time.perf_counter() - t0) / n
+        out["iters_per_sec_" + tag] = round(50 / per, 1)
+    return out
+
+
 def config_scale_512cubed_blocked_cg():
     """512³ (134M voxels, BASELINE config 5's volume) on ONE chip with the
     single-input blocked ``AᵀA+ρDᵀD`` kernel under the XLA CG — the
@@ -444,9 +532,12 @@ def main():
                    config2_lena_robust_deconv,
                    config2_lena_robust_deconv_irls,
                    config2_lena_robust_deconv_fused,
-                   config4_man1024_alpha_sweep, config_scale_256cubed,
+                   config4_man1024_alpha_sweep,
+                   config4_man1024_alpha_sweep_fused,
+                   config_scale_256cubed,
                    config_scale_256cubed_blocked,
                    config_scale_256cubed_blocked_cg,
+                   config_scale_256cubed_blocked_high3,
                    config_scale_512cubed_blocked_cg)
     configs = all_configs
     if len(sys.argv) > 1:

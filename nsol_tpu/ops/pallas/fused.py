@@ -64,7 +64,22 @@ def fused_admm_fits_vmem(shape, dtype=jnp.float32):
 
 def _minor_matmul(u, C, axis, ndim, precision=lax.Precision.HIGHEST):
     """Circulant/tridiagonal matmul along one of the two minor (tiled)
-    axes: ``y[..., i, ...] = Σ_m C[i, m] u[..., m, ...]``."""
+    axes: ``y[..., i, ...] = Σ_m C[i, m] u[..., m, ...]``.
+
+    ``precision="high3"``: 3-pass split-bf16 emulation of
+    ``lax.Precision.HIGH`` (Mosaic's dot lowering supports only HIGHEST
+    and DEFAULT). Exact hi/lo split — f32 = bf16(hi) + lo with both
+    addends f32 — then ``u·C ≈ u_hi·C_hi + u_hi·C_lo + u_lo·C_hi``
+    (the dropped lo·lo term is ~2⁻¹⁶ relative). Halves the MXU passes of
+    HIGHEST; the blocked 256³ apply is ~56 % MXU-pass-bound (BASELINE.md
+    probe), so this is the documented opt-in for scale configs."""
+    if precision == "high3":
+        u_hi = u.astype(jnp.bfloat16).astype(u.dtype)
+        C_hi = C.astype(jnp.bfloat16).astype(C.dtype)
+        d = lax.Precision.DEFAULT
+        return (_minor_matmul(u_hi, C_hi, axis, ndim, d)
+                + _minor_matmul(u_hi, C - C_hi, axis, ndim, d)
+                + _minor_matmul(u - u_hi, C_hi, axis, ndim, d))
     kw = dict(preferred_element_type=u.dtype, precision=precision)
     if axis == ndim - 1:
         return lax.dot_general(u, C, (((ndim - 1,), (1,)), ((), ())), **kw)
@@ -331,7 +346,7 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
         # CG r/p/q + op temporaries) exceeds the conservative 16 MiB
         # default scoped-VMEM cap; the hardware has far more.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -402,7 +417,8 @@ def _pd_schedules(alpha, L2, iterations, alg_type, dtype):
 def make_fused_pd_denoise_solver(shape, reconstruction_type,
                                  alg_type="ALG2", iterations=50,
                                  spacing=None, dtype=jnp.float32,
-                                 huber_gamma=0.05, interpret=False):
+                                 huber_gamma=0.05, record=False,
+                                 interpret=False):
     """Build ``solve(b, x0, alpha, L2) -> x``: a whole Chambolle–Pock
     denoising solve as ONE VMEM-resident Pallas program.
 
@@ -422,6 +438,12 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
     ``alpha``/``L2`` stay runtime scalars — the step-size schedules are
     precomputed per call in plain XLA (`_pd_schedules`) and indexed from
     SMEM, so alpha sweeps neither retrace nor recompile.
+
+    ``record=True``: the kernel also accumulates the study engine's
+    L-curve measures in-graph — ``Reg = Σ‖(∇x)‖₂`` (isotropic TV) and
+    ``Data = Σ(x−b)²`` per iterate, row 0 = the x0 state (matching the
+    reference observer's add_x-at-init) — and ``solve`` returns
+    ``(x, {"Reg": (iterations+1,), "Data": (iterations+1,)})``.
     """
     if reconstruction_type not in ("TVL1", "TVL2", "HuberL1", "HuberL2"):
         raise ValueError("unknown reconstruction type '%s'"
@@ -451,7 +473,12 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
 
     def kernel(b_ref, x0_ref, sig_ref, tau_ref, ft_ref, th_ref,
                *mat_refs):
-        out_ref = mat_refs[-1]
+        if record:
+            out_ref, reg_ref, data_ref = mat_refs[-3:]
+            mat_refs = mat_refs[:-3]
+        else:
+            out_ref = mat_refs[-1]
+            mat_refs = mat_refs[:-1]
         Ds = [m[:] for m in mat_refs[:n_minor]]
         DTs = [m[:] for m in mat_refs[n_minor:2 * n_minor]]
         b = b_ref[:]
@@ -478,6 +505,21 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
                 out = t if out is None else out + t
             return out
 
+        def write_measures(t, u):
+            # study-engine L-curve feeds (benchmarks config 4 record_fn)
+            g2 = None
+            for i in range(ndim):
+                gi = grad_comp(u, i)
+                g2 = gi * gi if g2 is None else g2 + gi * gi
+            reg = jnp.sum(jnp.sqrt(g2))
+            d = u - b
+            data = jnp.sum(d * d)
+            reg_ref[pl.ds(t, 1), :] = jnp.full((1, 128), reg, dtype)
+            data_ref[pl.ds(t, 1), :] = jnp.full((1, 128), data, dtype)
+
+        if record:
+            write_measures(0, x)
+
         def body(t, carry):
             x, x_mean, p = carry
             sigma = sig_ref[t, 0]
@@ -503,6 +545,8 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
             else:
                 x_new = (z + ft * b) / (1.0 + ft)
 
+            if record:
+                write_measures(t + 1, x_new)
             x_mean = x_new + theta * (x_new - x)
             return (x_new, x_mean, p)
 
@@ -514,22 +558,33 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((iterations, 1), memory_space=pltpu.SMEM)
 
+    out_shape = jax.ShapeDtypeStruct(shape, dtype)
+    out_specs = vmem
+    if record:
+        rec_shape = jax.ShapeDtypeStruct((iterations + 1, 128), dtype)
+        out_shape = (out_shape, rec_shape, rec_shape)
+        out_specs = (vmem, vmem, vmem)
+
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        out_shape=out_shape,
         in_specs=[vmem, vmem, smem, smem, smem, smem]
         + [vmem] * len(mats),
-        out_specs=vmem,
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )
 
     def solve(b, x0, alpha, L2):
         sigma, tau, ft, theta = _pd_schedules(alpha, L2, iterations,
                                               alg_type, dtype)
-        return call(jnp.asarray(b, dtype), jnp.asarray(x0, dtype),
-                    sigma[:, None], tau[:, None], ft[:, None],
-                    theta[:, None], *mats)
+        out = call(jnp.asarray(b, dtype), jnp.asarray(x0, dtype),
+                   sigma[:, None], tau[:, None], ft[:, None],
+                   theta[:, None], *mats)
+        if record:
+            x, reg, data = out
+            return x, {"Reg": reg[:, 0], "Data": data[:, 0]}
+        return out
 
     return solve

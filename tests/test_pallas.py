@@ -370,3 +370,80 @@ def test_blocked_admm_solve_matches_xla_path(rng):
     x_blk = solve(b, b, 0.01, 0.5)
     np.testing.assert_allclose(np.asarray(x_blk), np.asarray(x_ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_fused_pd_denoise_records_match_xla(rng):
+    """In-kernel Reg/Data recording == primal_dual_solve's record_fn
+    (the study engine's L-curve feeds), row 0 = x0 state."""
+    from functools import partial
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops import prox as prox_ops
+    from nsol_tpu.ops.pallas.fused import make_fused_pd_denoise_solver
+    from nsol_tpu.solvers.primal_dual import primal_dual_solve
+
+    shape = (24, 16)
+    b = rng.rand(*shape).astype(np.float32)
+    bj = jnp.asarray(b)
+    grad_op, grad_adj = G.make_gradient_operators()
+
+    def prox_f(x, tau):
+        return prox_ops.prox_ell2_denoising(x, tau, bj)
+
+    def record(x):
+        g = grad_op(x)
+        return {"Reg": jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0))),
+                "Data": jnp.sum((x - bj) ** 2)}
+
+    x_ref, recs_ref = jax.jit(partial(
+        primal_dual_solve, prox_f, prox_ops.prox_tv_conj, grad_op,
+        grad_adj, iterations=7, record_fn=record))(
+            bj, jnp.float32(0.4), jnp.float32(8.0))
+
+    solve = make_fused_pd_denoise_solver(shape, "TVL2", iterations=7,
+                                         record=True, interpret=True)
+    x, recs = solve(b, b, 0.4, 8.0)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               atol=2e-6, rtol=1e-5)
+    for k in ("Reg", "Data"):
+        np.testing.assert_allclose(np.asarray(recs[k]),
+                                   np.asarray(recs_ref["measures"][k]),
+                                   rtol=2e-5, err_msg=k)
+
+
+def test_fused_pd_denoise_vmaps_over_alpha(rng):
+    """jax.vmap over the runtime alpha — the 64-alpha L-curve sweep shape
+    (BASELINE config 4) through the fused kernel."""
+    from nsol_tpu.ops.pallas.fused import make_fused_pd_denoise_solver
+
+    shape = (16, 16)
+    b = rng.rand(*shape).astype(np.float32)
+    solve = make_fused_pd_denoise_solver(shape, "TVL2", iterations=6,
+                                         record=True, interpret=True)
+    alphas = jnp.asarray([0.1, 0.5, 1.2], jnp.float32)
+    xs, recs = jax.vmap(
+        lambda a: solve(b, b, a, jnp.float32(8.0)))(alphas)
+    assert xs.shape == (3,) + shape
+    assert recs["Reg"].shape == (3, 7)
+    for i, a in enumerate(np.asarray(alphas)):
+        x1, r1 = solve(b, b, float(a), 8.0)
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(x1),
+                                   atol=2e-6, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(recs["Data"][i]),
+                                   np.asarray(r1["Data"]), rtol=2e-5)
+
+
+def test_blocked_normal_operator_high3_close_to_highest(rng):
+    """3-pass split-bf16 emulated-HIGH matmuls track the HIGHEST apply to
+    ~bf16-squared relative error (the documented scale-config opt-in)."""
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    v = rng.rand(*shape).astype(np.float32)
+    hi = make_blocked_normal_operator(shape, cov, block=8, interpret=True)
+    h3 = make_blocked_normal_operator(shape, cov, block=8,
+                                      precision="high3", interpret=True)
+    a = np.asarray(hi(v, 0.5))
+    b = np.asarray(h3(v, 0.5))
+    scale = np.max(np.abs(a))
+    assert np.max(np.abs(a - b)) / scale < 5e-5
