@@ -492,13 +492,18 @@ def config_scale_512cubed_blocked_cg():
     from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator
     from nsol_tpu.solvers.admm import admm_solve as _admm_solve
 
+    import os
     shape = (512, 512, 512)
     rng = np.random.RandomState(0)
     x_true = (rng.rand(*shape) > 0.7).astype(DTYPE)
     cov = np.diag([1.0] * 3)
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
                                      method="auto", dtype=DTYPE)
-    normal_M = make_blocked_normal_operator(shape, cov)
+    # NSOL_SUITE_512_HIGH3=1 switches the apply to the 3-pass
+    # emulated-HIGH matmuls (objective-equal at 256³ — BASELINE.md)
+    kw = ({"precision": "high3"}
+          if os.environ.get("NSOL_SUITE_512_HIGH3") else {})
+    normal_M = make_blocked_normal_operator(shape, cov, **kw)
     Bg, Bg_adj = G.make_gradient_operators()
     xj = jnp.asarray(x_true)
     b = jit_closed(A, (xj,))(xj)
