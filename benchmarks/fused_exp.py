@@ -37,45 +37,50 @@ def main():
     b = jnp.asarray(b_np.astype(np.float32))
 
     from jax import lax
-    prec = (lax.Precision.HIGH if "high" in sys.argv[1:]
-            else lax.Precision.HIGHEST)
-    solve = make_fused_admm_solver(shape, cov, iterations=ITERATIONS,
-                                   iter_max=ITER_MAX, precision=prec)
-    solve_j = jax.jit(solve)
+    # same-session A/B (tunnel throughput drifts between sessions):
+    # HIGHEST (6 MXU passes) vs high3 (3-pass split-bf16 emulated-HIGH,
+    # _minor_matmul in ops/pallas/fused.py). lax.Precision.HIGH itself is
+    # not lowerable by Mosaic.
+    variants = sys.argv[1:] or ["highest", "high3"]
+    for tag in variants:
+        prec = lax.Precision.HIGHEST if tag == "highest" else tag
+        solve = make_fused_admm_solver(shape, cov, iterations=ITERATIONS,
+                                       iter_max=ITER_MAX, precision=prec)
+        solve_j = jax.jit(solve)
 
-    t0 = time.perf_counter()
-    x = solve_j(b, b, ALPHA, RHO)
-    np.asarray(x)  # compile + first execution
-    print("warmup (incl. compile): %.1f s" % (time.perf_counter() - t0),
-          file=sys.stderr)
+        t0 = time.perf_counter()
+        x = solve_j(b, b, ALPHA, RHO)
+        np.asarray(x)  # compile + first execution
+        print("warmup (incl. compile): %.1f s" % (time.perf_counter() - t0),
+              file=sys.stderr)
 
-    n_chain = 10
-    t0 = time.perf_counter()
-    xi = b
-    for _ in range(n_chain):
-        xi = solve_j(xi, xi, ALPHA, RHO)
-    np.asarray(xi)
-    per = (time.perf_counter() - t0) / n_chain
+        n_chain = 10
+        t0 = time.perf_counter()
+        xi = b
+        for _ in range(n_chain):
+            xi = solve_j(xi, xi, ALPHA, RHO)
+        np.asarray(xi)
+        per = (time.perf_counter() - t0) / n_chain
 
-    x = solve_j(b, b, ALPHA, RHO)
-    xv = np.asarray(x, dtype=np.float64)
-    r = ndi.convolve(xv, kern, mode="wrap") - b_np
-    comps = []
-    for ax in (2, 1, 0):
-        up = np.concatenate(
-            [np.take(xv, range(1, xv.shape[ax]), axis=ax),
-             np.zeros_like(np.take(xv, [0], axis=ax))], axis=ax)
-        comps.append(up - xv)
-    g = np.stack(comps)
-    objective = float(0.5 * np.sum(r ** 2)
-                      + ALPHA * np.sum(np.sqrt(np.sum(g ** 2, axis=0))))
+        x = solve_j(b, b, ALPHA, RHO)
+        xv = np.asarray(x, dtype=np.float64)
+        r = ndi.convolve(xv, kern, mode="wrap") - b_np
+        comps = []
+        for ax in (2, 1, 0):
+            up = np.concatenate(
+                [np.take(xv, range(1, xv.shape[ax]), axis=ax),
+                 np.zeros_like(np.take(xv, [0], axis=ax))], axis=ax)
+            comps.append(up - xv)
+        g = np.stack(comps)
+        objective = float(0.5 * np.sum(r ** 2)
+                          + ALPHA * np.sum(np.sqrt(np.sum(g ** 2, axis=0))))
 
-    print(json.dumps({
-        "variant": "fused_pallas_admm_high" if "high" in sys.argv[1:] else "fused_pallas_admm",
-        "iters_per_sec": round(ITERATIONS / per, 1),
-        "ms_per_solve": round(per * 1e3, 3),
-        "objective": round(objective, 2),
-    }))
+        print(json.dumps({
+            "variant": "fused_pallas_admm_" + tag,
+            "iters_per_sec": round(ITERATIONS / per, 1),
+            "ms_per_solve": round(per * 1e3, 3),
+            "objective": round(objective, 2),
+        }))
 
 
 if __name__ == "__main__":

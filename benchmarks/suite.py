@@ -409,28 +409,37 @@ def config_scale_256cubed_blocked_cg():
     cov = np.diag([1.0] * 3)
     A, _ = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
                                  method="auto", dtype=DTYPE)
+    Bg, _ = G.make_gradient_operators()
     xj = jnp.asarray(x_true)
     b = jit_closed(A, (xj,))(xj)
-
-    solve = blocked_admm_solve(shape, cov, iterations=50, iter_max=10)
     al = jnp.asarray(0.01, DTYPE)
     rh = jnp.asarray(0.5, DTYPE)
 
-    def run(bi, x0):
-        return solve(bi, x0, al, rh)
+    out = {"config": "synthetic_256cubed_tv_admm_cg_50it_blocked_cg"}
+    for tag, kw in (("highest", {}), ("high3", {"precision": "high3"})):
+        solve = blocked_admm_solve(shape, cov, iterations=50, iter_max=10,
+                                   **kw)
 
-    f = jit_closed(run, (b, b))
-    np.asarray(f(b, b)[0, 0, 0])
-    n = 3
-    t0 = time.perf_counter()
-    xi = b
-    for _ in range(n):
-        xi = f(b, xi)
-    np.asarray(xi[0, 0, 0])
-    per = (time.perf_counter() - t0) / n
-    return {"config": "synthetic_256cubed_tv_admm_cg_50it_blocked_cg",
-            "iters_per_sec": round(50 / per, 1),
-            "s_per_solve": round(per, 3)}
+        def run(bi, x0):
+            x = solve(bi, x0, al, rh)
+            r = A(x) - bi
+            g = Bg(x)
+            obj = 0.5 * jnp.sum(r * r) \
+                + al * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
+            return x, obj
+
+        f = jit_closed(run, (b, b))
+        x, obj = f(b, b)
+        out["objective_" + tag] = round(float(np.asarray(obj)), 1)
+        n = 3
+        t0 = time.perf_counter()
+        xi = b
+        for _ in range(n):
+            xi, obj = f(b, xi)
+        np.asarray(xi[0, 0, 0])
+        per = (time.perf_counter() - t0) / n
+        out["iters_per_sec_" + tag] = round(50 / per, 1)
+    return out
 
 
 def config_scale_256cubed_blocked_high3():

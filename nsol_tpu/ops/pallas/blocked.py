@@ -9,7 +9,10 @@ updates — measured breakdown in BASELINE.md ("Where the 256³ time goes").
 Two kernels stream the volume in z-blocks with a manual wrap-halo DMA (the
 blur's circular boundary needs overlapping windows, which is outside
 BlockSpec's non-overlapping tiling model — inputs stay in ANY/HBM and each
-grid step copies a halo-extended slab into VMEM scratch):
+grid step copies a halo-extended slab into VMEM scratch). The slab copies
+are DOUBLE-BUFFERED: grid step ``i`` prefetches block ``i+1``'s slab into
+the alternate scratch slot before computing on block ``i``, overlapping
+the HBM read latency with the MXU/VPU work (see ``_load_ext_pipelined``):
 
 * :func:`make_blocked_normal_operator` — ``M v = AᵀA v + ρ·DᵀD v`` in ONE
   pass (1 halo-read + 1 write instead of ~10 sweeps); plugs into the
@@ -52,13 +55,14 @@ __all__ = ["make_blocked_normal_operator", "make_blocked_cg_step",
 def pick_z_block(shape, halo, dtype=jnp.float32, n_ext=1,
                  budget_bytes=72 * 1024 * 1024):
     """Largest z-block in {64, 32, 16, 8} whose slab working set (``n_ext``
-    halo-extended inputs + ~4 block-sized temporaries) fits the VMEM
-    budget, or None."""
+    halo-extended inputs, each DOUBLE-buffered for the DMA/compute overlap,
+    + ~4 block-sized temporaries) fits the VMEM budget, or None."""
     plane = int(np.prod(shape[1:])) * jnp.dtype(dtype).itemsize
     for b in (64, 32, 16, 8):
         if shape[0] % b or shape[0] // b < 2 or b < halo:
             continue
-        if n_ext * (b + 2 * halo) * plane + 4 * b * plane <= budget_bytes:
+        if 2 * n_ext * (b + 2 * halo) * plane + 4 * b * plane \
+                <= budget_bytes:
             return b
     return None
 
@@ -107,39 +111,69 @@ class _Stencils(object):
         return Z // block
 
 
-def _load_ext(v_hbm, ext, sem, i, nblk, Z, block, r):
-    """DMA the halo-extended slab ``[i·B − r, i·B + B + r)`` (wrapped at
-    the global z edges) of ``v_hbm`` into the VMEM scratch ``ext``."""
-    @pl.when(i == 0)
-    def _():
-        c = pltpu.make_async_copy(v_hbm.at[pl.ds(Z - r, r)],
-                                  ext.at[pl.ds(0, r)], sem)
-        c.start()
-        c.wait()
-        c = pltpu.make_async_copy(v_hbm.at[pl.ds(0, block + r)],
-                                  ext.at[pl.ds(r, block + r)], sem)
-        c.start()
-        c.wait()
+def _ext_dma(v_hbm, ext_slot, sem_slot, j, nblk, Z, block, r, wait):
+    """Issue (``wait=False``) or complete (``wait=True``) the wrap-halo
+    DMAs loading block ``j``'s halo-extended slab
+    ``[j·B − r, j·B + B + r)`` of ``v_hbm`` into the VMEM scratch slot
+    ``ext_slot``. Start and wait are split so the caller can overlap the
+    next block's copy with the current block's compute (double
+    buffering); the wait call rebuilds identical descriptors, which is
+    the supported way to block on an in-flight ``make_async_copy``."""
+    def go(c):
+        c.wait() if wait else c.start()
 
-    @pl.when(i == nblk - 1)
+    @pl.when(j == 0)
     def _():
-        c = pltpu.make_async_copy(
+        go(pltpu.make_async_copy(v_hbm.at[pl.ds(Z - r, r)],
+                                 ext_slot.at[pl.ds(0, r)], sem_slot))
+        go(pltpu.make_async_copy(v_hbm.at[pl.ds(0, block + r)],
+                                 ext_slot.at[pl.ds(r, block + r)],
+                                 sem_slot))
+
+    @pl.when(j == nblk - 1)
+    def _():
+        go(pltpu.make_async_copy(
             v_hbm.at[pl.ds(Z - block - r, block + r)],
-            ext.at[pl.ds(0, block + r)], sem)
-        c.start()
-        c.wait()
-        c = pltpu.make_async_copy(v_hbm.at[pl.ds(0, r)],
-                                  ext.at[pl.ds(block + r, r)], sem)
-        c.start()
-        c.wait()
+            ext_slot.at[pl.ds(0, block + r)], sem_slot))
+        go(pltpu.make_async_copy(v_hbm.at[pl.ds(0, r)],
+                                 ext_slot.at[pl.ds(block + r, r)],
+                                 sem_slot))
 
     if nblk > 2:  # interior blocks exist (their slice is static-sized)
-        @pl.when(jnp.logical_and(i > 0, i < nblk - 1))
+        @pl.when(jnp.logical_and(j > 0, j < nblk - 1))
         def _():
-            c = pltpu.make_async_copy(
-                v_hbm.at[pl.ds(i * block - r, block + 2 * r)], ext, sem)
-            c.start()
-            c.wait()
+            go(pltpu.make_async_copy(
+                v_hbm.at[pl.ds(j * block - r, block + 2 * r)],
+                ext_slot, sem_slot))
+
+
+def _load_ext_pipelined(inputs, i, nblk, Z, block, r):
+    """Double-buffered halo loads for grid step ``i``: wait for block
+    ``i``'s slabs (started in the previous grid step, or right here when
+    ``i == 0``) and prefetch block ``i+1``'s into the other slot while
+    the caller computes. ``inputs = [(v_hbm, ext, sem), ...]`` with
+    ``ext`` shaped ``(2, block+2r, Y, X)`` and ``sem`` a 2-element DMA
+    semaphore array. Returns the slot index holding block ``i``."""
+    two = jnp.asarray(2, i.dtype)
+    slot = lax.rem(i, two)
+    nxt = lax.rem(i + two - 1, two)  # (i+1) % 2, avoiding i+1 overflowing
+
+    @pl.when(i == 0)
+    def _():
+        for v_hbm, ext, sem in inputs:
+            _ext_dma(v_hbm, ext.at[0], sem.at[0], i, nblk, Z, block, r,
+                     wait=False)
+
+    @pl.when(i + 1 < nblk)
+    def _():
+        for v_hbm, ext, sem in inputs:
+            _ext_dma(v_hbm, ext.at[nxt], sem.at[nxt], i + 1, nblk, Z,
+                     block, r, wait=False)
+
+    for v_hbm, ext, sem in inputs:
+        _ext_dma(v_hbm, ext.at[slot], sem.at[slot], i, nblk, Z, block, r,
+                 wait=True)
+    return slot
 
 
 def _normal_center(get, st, rho, i, block, refs, precision):
@@ -207,8 +241,9 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
     def kernel(rho_ref, ny_ref, nx_ref, ty_ref, tx_ref, v_hbm, out_ref,
                ext, sem):
         i = pl.program_id(0)
-        _load_ext(v_hbm, ext, sem, i, nblk, Z, block, r)
-        get = lambda s0, n: ext[pl.ds(s0, n)]
+        slot = _load_ext_pipelined([(v_hbm, ext, sem)], i, nblk, Z,
+                                   block, r)
+        get = lambda s0, n: ext[slot, pl.ds(s0, n)]
         q, _ = _normal_center(
             get, st, rho_ref[0, 0], i, block,
             (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision)
@@ -228,8 +263,8 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
         out_specs=pl.BlockSpec((block, Y, X), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
         scratch_shapes=[
-            pltpu.VMEM((block + 2 * r, Y, X), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, block + 2 * r, Y, X), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
@@ -273,15 +308,17 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
     r_h = st.halo
 
     def kernel(sc_ref, ny_ref, nx_ref, ty_ref, tx_ref, r_hbm, p_hbm,
-               pn_ref, q_ref, pq_ref, ext_r, ext_p, sem):
+               pn_ref, q_ref, pq_ref, ext_r, ext_p, sem_r, sem_p):
         i = pl.program_id(0)
         beta = sc_ref[0, 0]
         rho = sc_ref[0, 1]
-        _load_ext(r_hbm, ext_r, sem, i, nblk, Z, block, r_h)
-        _load_ext(p_hbm, ext_p, sem, i, nblk, Z, block, r_h)
+        slot = _load_ext_pipelined(
+            [(r_hbm, ext_r, sem_r), (p_hbm, ext_p, sem_p)], i, nblk, Z,
+            block, r_h)
         # direction update fused into every slab access: q sees the new
         # direction's halo without materializing an extended temporary
-        get = lambda s0, n: ext_r[pl.ds(s0, n)] + beta * ext_p[pl.ds(s0, n)]
+        get = lambda s0, n: (ext_r[slot, pl.ds(s0, n)]
+                             + beta * ext_p[slot, pl.ds(s0, n)])
         q, pn_center = _normal_center(
             get, st, rho, i, block,
             (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision)
@@ -314,9 +351,10 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
             jax.ShapeDtypeStruct((nblk, 8, 128), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block + 2 * r_h, Y, X), dtype),
-            pltpu.VMEM((block + 2 * r_h, Y, X), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, block + 2 * r_h, Y, X), dtype),
+            pltpu.VMEM((2, block + 2 * r_h, Y, X), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
