@@ -114,22 +114,44 @@ def main():
 
         # NSOL_TPU_FUSED_INTERPRET=1 forces the fused path in Pallas
         # interpreter mode — lets CPU CI exercise this wiring.
+        # NSOL_TPU_FORCE_BLOCKED=1 skips the VMEM-resident kernel so the
+        # z-blocked streaming branch below is testable on small volumes.
         interp = bool(os.environ.get("NSOL_TPU_FUSED_INTERPRET"))
-        if ((interp or jax.default_backend() != "cpu")
-                and dimension in (2, 3)
+        force_blocked = bool(os.environ.get("NSOL_TPU_FORCE_BLOCKED"))
+        on_accel = interp or jax.default_backend() != "cpu"
+        bj = jnp.asarray(b / x_scale, jnp.float32)
+        rho0 = jnp.asarray(args.rho, bj.dtype)
+        dls0 = jnp.asarray(args.data_loss_scale, bj.dtype)
+        a0 = jnp.asarray(float(alphas[0]), bj.dtype)
+        if (on_accel and dimension in (2, 3) and not force_blocked
                 and _fused.fused_admm_fits_vmem(observed_nda.shape)):
             fused_admm = _fused.make_fused_admm_solver(
                 observed_nda.shape, cov, spacing=spacing,
                 iterations=args.iterations, iter_max=args.iter_max,
                 data_loss=args.data_loss,
                 irls_cg_iters=args.irls_cg_iters, interpret=interp)
-            bj = jnp.asarray(b / x_scale, jnp.float32)
-            rho0 = jnp.asarray(args.rho, bj.dtype)
-            dls0 = jnp.asarray(args.data_loss_scale, bj.dtype)
-            a0 = jnp.asarray(float(alphas[0]), bj.dtype)
             fused_jit = jit_closed(
                 lambda x0, a: fused_admm(bj, x0, a, rho0, dls0),
                 (bj, a0))
+        elif (on_accel and dimension == 3 and args.data_loss == "linear"
+                and args.minimizer == "cg"):
+            # Past-VMEM 3-D volumes: the fully streaming z-blocked solve
+            # (double-buffered halo DMA, every CG iteration = one Pallas
+            # pass + one XLA fusion) — 35.2 vs 29.9 it/s at 256³ on the
+            # matmul path (BASELINE.md, 2026-08-21). Falls back to the
+            # default solver path for non-separable blurs or volumes whose
+            # leading axis doesn't split into z-blocks.
+            try:
+                from nsol_tpu.ops.pallas.blocked import blocked_admm_solve
+
+                blocked = blocked_admm_solve(
+                    observed_nda.shape, cov, spacing=spacing,
+                    iterations=args.iterations, iter_max=args.iter_max,
+                    interpret=interp)
+                fused_jit = jit_closed(
+                    lambda x0, a: blocked(bj, x0, a, rho0), (bj, a0))
+            except ValueError:
+                fused_jit = None
 
     if fused_jit is not None:
         recons = []

@@ -276,3 +276,34 @@ def test_run_deconvolution_fused_path_matches_xla_cli(tmp_path):
     a = np.asarray(Image.open(out_xla), dtype=np.int16)
     b = np.asarray(Image.open(out_fused), dtype=np.int16)
     assert np.max(np.abs(a - b)) <= 1
+
+
+def test_run_deconvolution_blocked_path_matches_xla_cli(tmp_path):
+    """The past-VMEM streaming branch (z-blocked Pallas solve, forced via
+    NSOL_TPU_FORCE_BLOCKED on the 64³ phantom) == the XLA minimizer='cg'
+    branch on the same 3-D problem."""
+    from nsol_tpu.io.nifti import read_nifti
+
+    obs = os.path.join(DATA, "3D_SheppLoganPhantom_64.nii.gz")
+    out_xla = str(tmp_path / "xla.nii.gz")
+    out_blocked = str(tmp_path / "blocked.nii.gz")
+    base = ["nsol_run_deconvolution.py", "--observation", obs,
+            "--reconstruction-type", "TVL2", "--solver", "ADMM",
+            "--minimizer", "cg", "--iterations", "3", "--iter-max", "4",
+            "--blur", "1", "--alpha", "0.01"]
+    p = _run(base + ["--result", out_xla])
+    assert p.returncode == 0, p.stderr[-2000:]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["NSOL_TPU_PLATFORM"] = "cpu"
+    env["NSOL_TPU_FUSED_INTERPRET"] = "1"
+    env["NSOL_TPU_FORCE_BLOCKED"] = "1"
+    env["PYTHONPATH"] = REPO
+    p = subprocess.run(
+        [sys.executable] + base + ["--result", out_blocked], env=env,
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-2000:]
+    a = read_nifti(out_xla).data
+    b = read_nifti(out_blocked).data
+    scale = max(1.0, float(np.abs(a).max()))
+    assert np.max(np.abs(a - b)) / scale < 5e-5
