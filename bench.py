@@ -67,8 +67,12 @@ def main():
     # Fastest configuration (measured ladder in BASELINE.md): the fused
     # VMEM-resident Pallas kernel — the ENTIRE ADMM solve in one program,
     # all state in VMEM (2823 vs 1942 it/s on the MXU matmul path,
-    # 2026-08-20). Fallback: MXU circulant-matmul operators + fused
-    # normal-equation CG under jit.
+    # 2026-08-20) — with precision="high3" minor-axis matmuls (3-pass
+    # split-bf16 emulated-HIGH: 3272 vs 2809 it/s same-session on
+    # 2026-08-21, objective 212554.56 vs 212557.79 — both in the 0.1 %
+    # band vs the CPU reference 212334.64, benchmarks/fused_exp.py).
+    # Fallback: MXU circulant-matmul operators + fused normal-equation CG
+    # under jit.
     from nsol_tpu.ops.pallas.fused import (
         make_fused_admm_solver, fused_admm_fits_vmem,
     )
@@ -78,7 +82,7 @@ def main():
             try:
                 fused = make_fused_admm_solver(
                     shape, cov, iterations=ITERATIONS, iter_max=ITER_MAX,
-                    dtype=dtype)
+                    dtype=dtype, precision="high3")
                 import jax as _jax
 
                 f = _jax.jit(fused)
