@@ -398,9 +398,12 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
                                            spacing=spacing, block=block,
                                            dtype=dtype, precision=precision,
                                            interpret=interpret)
-    # one-time Aᵀb (A symmetric ⇒ Aᵀb = Ab): loop-invariant, XLA matmuls
+    # one-time Aᵀb (A symmetric ⇒ Aᵀb = Ab): loop-invariant, XLA matmuls.
+    # ``precision`` may be the Pallas-only "high3" string (3-pass
+    # emulated-HIGH inside the kernels); the XLA-side constant prep is
+    # loop-invariant so it always runs at full HIGHEST precision.
     A = matmul_convolve_fn(st.factors, shape, st.np_dtype,
-                           precision=precision)
+                           precision=lax.Precision.HIGHEST)
 
     def solve(b, x0, alpha, rho):
         b = jnp.asarray(b, dtype)
