@@ -19,6 +19,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp  # noqa: E402
 import scipy.ndimage as ndi  # noqa: E402
 
+from nsol_tpu.data import path as data_path  # noqa: E402
 from nsol_tpu.io import read_nifti  # noqa: E402
 from nsol_tpu.ops import kernels as K  # noqa: E402
 from nsol_tpu.ops.pallas.fused import make_fused_admm_solver  # noqa: E402
@@ -28,7 +29,7 @@ SIGMA = 1.0
 
 
 def main():
-    img = read_nifti("/root/reference/data/3D_SheppLoganPhantom_64.nii.gz")
+    img = read_nifti(data_path("3D_SheppLoganPhantom_64.nii.gz"))
     x_true = img.data.astype(np.float64)
     shape = x_true.shape
     cov = np.diag([SIGMA ** 2] * 3)
@@ -42,6 +43,12 @@ def main():
     # _minor_matmul in ops/pallas/fused.py). lax.Precision.HIGH itself is
     # not lowerable by Mosaic.
     variants = sys.argv[1:] or ["highest", "high3"]
+    bad = [t for t in variants if t not in ("highest", "high3")]
+    if bad:
+        # lax.Precision.HIGH dies with a NotImplementedError deep inside
+        # the Mosaic compile — reject unknown tags up front instead.
+        sys.exit("usage: fused_exp.py [highest|high3 ...] "
+                 "(got %s)" % ", ".join(bad))
     for tag in variants:
         prec = lax.Precision.HIGHEST if tag == "highest" else tag
         solve = make_fused_admm_solver(shape, cov, iterations=ITERATIONS,

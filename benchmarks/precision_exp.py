@@ -26,6 +26,7 @@ import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
 import scipy.ndimage as ndi  # noqa: E402
 
+from nsol_tpu.data import path as data_path  # noqa: E402
 from nsol_tpu.io import read_nifti  # noqa: E402
 from nsol_tpu.ops import grad as G  # noqa: E402
 from nsol_tpu.ops import kernels as K  # noqa: E402
@@ -94,7 +95,7 @@ def run_variant(precision, tag, x_true, kern, b_np):
 
 
 def main():
-    img = read_nifti("/root/reference/data/3D_SheppLoganPhantom_64.nii.gz")
+    img = read_nifti(data_path("3D_SheppLoganPhantom_64.nii.gz"))
     x_true = img.data.astype(np.float64)
     cov = np.diag([SIGMA ** 2] * 3)
     kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))

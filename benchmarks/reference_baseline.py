@@ -23,6 +23,7 @@ import scipy.sparse.linalg
 import sys
 sys.path.insert(0, "/root/repo")
 
+from nsol_tpu.data import path as data_path          # noqa: E402
 from nsol_tpu.io import read_nifti                       # noqa: E402
 from nsol_tpu.ops import kernels as K                    # noqa: E402
 
@@ -31,7 +32,7 @@ SIGMA = 1.0
 
 
 def main():
-    img = read_nifti("/root/reference/data/3D_SheppLoganPhantom_64.nii.gz")
+    img = read_nifti(data_path("3D_SheppLoganPhantom_64.nii.gz"))
     x_true = img.data.astype(np.float64)
     shape = x_true.shape
     n = x_true.size

@@ -38,7 +38,9 @@ from nsol_tpu.ops import prox as prox_ops  # noqa: E402
 from nsol_tpu.solvers import primal_dual as _pd  # noqa: E402
 from nsol_tpu.solvers import admm as _admm  # noqa: E402
 
-DATA = "/root/reference/data"
+from nsol_tpu.data import data_dir  # noqa: E402
+
+DATA = data_dir()
 DTYPE = np.float32
 
 
@@ -420,22 +422,24 @@ def config_scale_256cubed_blocked_cg():
         solve = blocked_admm_solve(shape, cov, iterations=50, iter_max=10,
                                    **kw)
 
-        def run(bi, x0):
-            x = solve(bi, x0, al, rh)
+        # objective in its OWN jitted call so the timed loop is solve-only
+        # (the full-volume A/gradient apply would otherwise inflate the
+        # per-iteration denominator vs the other scale configs)
+        def objective(bi, x):
             r = A(x) - bi
             g = Bg(x)
-            obj = 0.5 * jnp.sum(r * r) \
+            return 0.5 * jnp.sum(r * r) \
                 + al * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
-            return x, obj
 
-        f = jit_closed(run, (b, b))
-        x, obj = f(b, b)
-        out["objective_" + tag] = round(float(np.asarray(obj)), 1)
+        f = jit_closed(lambda bi, x0: solve(bi, x0, al, rh), (b, b))
+        obj_f = jit_closed(objective, (b, b))
+        x = f(b, b)
+        out["objective_" + tag] = round(float(np.asarray(obj_f(b, x))), 1)
         n = 3
         t0 = time.perf_counter()
         xi = b
         for _ in range(n):
-            xi, obj = f(b, xi)
+            xi = f(b, xi)
         np.asarray(xi[0, 0, 0])
         per = (time.perf_counter() - t0) / n
         out["iters_per_sec_" + tag] = round(50 / per, 1)
@@ -562,12 +566,46 @@ def main():
                 "No benchmark config matches %r; valid names: %s"
                 % (sys.argv[1:],
                    ", ".join(f.__name__ for f in all_configs)))
+    results, failures = [], []
     for fn in configs:
         try:
-            print(json.dumps(fn()), flush=True)
+            out = fn()
+            results.append(out)
+            print(json.dumps(out), flush=True)
         except Exception as e:  # keep the suite going
             print(json.dumps({"config": fn.__name__, "error": str(e)}),
                   flush=True)
+            failures.append("%s raised: %s" % (fn.__name__, e))
+
+    # Parity GATE: the suite exits non-zero when objectives drift, so a
+    # Mosaic/lowering regression FAILS the run instead of printing a
+    # drifted number a human has to notice. All checks are internal
+    # consistency (kernel path vs XLA path on identical inputs), hence
+    # valid on generated standalone data too.
+    huber_objs = {}
+    for out in results:
+        cfg = out.get("config", "?")
+        dev = out.get("max_dev_vs_xla")
+        if dev is not None and dev > 1e-5:
+            failures.append("%s: fused-vs-XLA deviation %g > 1e-5"
+                            % (cfg, dev))
+        oh, o3 = out.get("objective_highest"), out.get("objective_high3")
+        if oh is not None and o3 is not None \
+                and abs(o3 - oh) > 1e-3 * abs(oh):
+            failures.append("%s: high3 objective %s vs HIGHEST %s drifts "
+                            "past 0.1%%" % (cfg, o3, oh))
+        if cfg.startswith("lena256_huber_admm") and "objective" in out:
+            huber_objs[cfg] = out["objective"]
+    if len(huber_objs) > 1:
+        vals = sorted(huber_objs.values())
+        if vals[-1] - vals[0] > 5e-3 * abs(vals[0]):
+            failures.append("huber ADMM inner engines disagree on the "
+                            "converged objective past 0.5%%: %s"
+                            % huber_objs)
+    if failures:
+        for msg in failures:
+            print("PARITY FAILURE: " + msg, file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

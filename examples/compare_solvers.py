@@ -27,7 +27,9 @@ from nsol_tpu.ops import measures as sim  # noqa: E402
 from nsol_tpu.interface import DeconvolutionSolverStudyInterface  # noqa
 from nsol_tpu.solvers.wrappers import PrimalDualSolver  # noqa: E402
 
-DATA = "/root/reference/data"
+from nsol_tpu.data import data_dir
+
+DATA = data_dir()
 
 # Suggested regularization weights (reference: examples/compare_solver.py:52-57)
 ALPHA_DENOISE = 0.6

@@ -47,9 +47,9 @@ class InputArgparser(object):
 
     def print_arguments(self, args, title="Input Parameters:"):
         ph.print_title(title)
-        for arg in sorted(vars(args)):
-            ph.print_info("%s: " % arg, newline=False)
-            print(getattr(args, arg))
+        pairs = sorted(vars(args).items())
+        for name, value in pairs:
+            ph.print_info("%s: %s" % (name, value))
 
     def _add(self, option_string, **kwargs):
         default = kwargs.get("default")

@@ -89,7 +89,9 @@ def show_measures(reader, lines, dir_output=None):
                 nda_reg = np.atleast_2d(reader.get_results("Reg"))
                 alphas_str = [re.sub("alpha=", "", lab) for lab in labels]
                 if any(not _is_float(a) for a in alphas_str):
-                    raise RuntimeError("Conversion of alpha's failed")
+                    raise RuntimeError(
+                        "Cannot synthesize the total cost: a swept alpha "
+                        "label is not numeric")
                 alphas = np.array([float(a) for a in alphas_str]
                                   ).reshape(-1, 1)
                 nda = nda_data + alphas * nda_reg
@@ -139,6 +141,19 @@ def show_reconstructions(reader, lines, dir_output=None,
     name = reader.get_parameter_study_name()
     labels_dic = reader.get_line_to_parameter_labels()
     shape = tuple(int(s) for s in recon_dic["shape"])
+
+    # Segmentation overlay for 3-D galleries (reference contract:
+    # show_parameter_study.py:296-313 hands the mask to the 3-D viewer as
+    # a segmentation over every reconstruction; 2-D studies ignore it).
+    mask_nda = None
+    if reference_mask is not None and len(shape) == 3:
+        rd = DataReader(reference_mask)
+        rd.read_data()
+        mask_nda = np.asarray(rd.get_data())
+        if mask_nda.shape != shape:
+            raise IOError(
+                "Reference mask shape %s does not match the reconstruction "
+                "geometry %s" % (mask_nda.shape, shape))
     # Optional spatial metadata persisted by the study CLIs for nii inputs
     # (reference contract: show_parameter_study.py:279-291 feeds
     # origin/spacing/direction to the 3-D viewer). Spacing is (x, y, z).
@@ -186,6 +201,14 @@ def show_reconstructions(reader, lines, dir_output=None,
                 axes[1].imshow(d[:, mid[1]], cmap=colormap, aspect=sz / sx)
                 axes[2].imshow(d[:, :, mid[2]], cmap=colormap,
                                aspect=sz / sy)
+                if mask_nda is not None:
+                    slices = (mask_nda[mid[0]], mask_nda[:, mid[1]],
+                              mask_nda[:, :, mid[2]])
+                    for ax, ms in zip(axes, slices):
+                        if ms.max() > ms.min():
+                            ax.contour(ms, levels=[0.5 * (ms.max()
+                                                          + ms.min())],
+                                       colors="red", linewidths=0.8)
                 for ax in axes:
                     ax.axis("off")
                 fig.suptitle("%s: %s" % (name, lab))

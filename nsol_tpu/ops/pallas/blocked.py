@@ -49,7 +49,12 @@ from nsol_tpu.ops.grad import _spacing_array
 from nsol_tpu.ops.pallas.fused import _minor_matmul
 
 __all__ = ["make_blocked_normal_operator", "make_blocked_cg_step",
-           "blocked_admm_solve", "pick_z_block"]
+           "make_blocked_cg_sweep", "blocked_admm_solve", "pick_z_block"]
+
+#: scoped-VMEM budget for layout selection: the 127 MiB CompilerParams cap
+#: minus headroom for Mosaic's own temporaries (register spills to VMEM,
+#: matmul staging) — the 512³ working sets sit right at this edge.
+_LAYOUT_BUDGET_BYTES = 112 * 1024 * 1024
 
 
 def pick_z_block(shape, halo, dtype=jnp.float32, n_ext=1,
@@ -294,8 +299,7 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
     if block is None:
         block = pick_z_block(shape, st.halo, dtype, n_ext=2)
     if block is None:
-        # tight fallback: smallest legal block — the 127 MiB scoped-VMEM
-        # limit below is the real guard (512³ lands here)
+        # tight fallback: smallest legal block (512³ lands here)
         for cand in (8, 16, 32, 64):
             if (shape[0] % cand == 0 and shape[0] // cand >= 2
                     and cand >= st.halo):
@@ -303,6 +307,20 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
                 break
     if block is None:
         raise ValueError("no z-block fits VMEM for shape %s" % (shape,))
+    # The tight fallback can still exceed the scoped-VMEM cap for large
+    # Y·X planes (e.g. 256×1024×1024), in which case Mosaic only fails at
+    # compile time deep inside the caller's first jit. Pre-check the
+    # actual footprint — double-buffered halo slabs for the two inputs,
+    # pipelined pn/q output blocks, ~4 block-sized compute temporaries —
+    # and raise the construction-time ValueError callers already handle.
+    plane = int(np.prod(shape[1:])) * jnp.dtype(dtype).itemsize
+    footprint = (2 * 2 * (block + 2 * st.halo) + 2 * 2 * block
+                 + 4 * block) * plane
+    if footprint > 127 * 1024 * 1024:
+        raise ValueError(
+            "blocked CG-step working set (%d MiB at z-block %d) exceeds "
+            "the 127 MiB scoped-VMEM limit for shape %s"
+            % (footprint >> 20, block, shape))
     nblk = st.validate_block(block)
     Z, Y, X = shape
     r_h = st.halo

@@ -34,8 +34,9 @@ class ReaderParameterStudy(ParameterStudy):
                              % self._directory)
         self._measures = self._get_measure_names()
         if len(self._measures) == 0:
-            raise RuntimeError("No measures to study '%s' found in '%s'"
-                               % (self._name, self._directory))
+            raise RuntimeError(
+                "Directory '%s' holds no measure files for a study named "
+                "'%s'" % (self._directory, self._name))
         self._lines_params = self._read_parameter_file_lines()
         self._parameters_dic = self._get_parameters()
         for k, v in self._parameters_dic.items():
@@ -163,5 +164,6 @@ class ReaderParameterStudy(ParameterStudy):
 
     def _check_that_study_was_read(self):
         if self._lines_params is None:
-            raise UnboundLocalError("Execute 'read_study' first to get "
-                                    "information on parameters.")
+            raise UnboundLocalError(
+                "Parameter information is only available after calling "
+                "read_study()")

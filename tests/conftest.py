@@ -29,7 +29,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-REFERENCE_DATA_DIR = "/root/reference/data"
+from nsol_tpu.data import data_dir  # noqa: E402
+
+REFERENCE_DATA_DIR = data_dir()
 
 
 @pytest.fixture(scope="session")

@@ -12,7 +12,9 @@ import sys
 import numpy as np
 import pytest
 
-DATA = "/root/reference/data"
+from nsol_tpu.data import data_dir
+
+DATA = data_dir()
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -8,7 +8,9 @@ import numpy as np
 
 from nsol_tpu.io import DataReader, DataWriter, read_nifti, write_nifti
 
-PHANTOM = "/root/reference/data/3D_SheppLoganPhantom_64.nii.gz"
+from nsol_tpu.data import path as data_path
+
+PHANTOM = data_path("3D_SheppLoganPhantom_64.nii.gz")
 
 
 def test_read_shepp_logan_phantom():
@@ -41,7 +43,7 @@ def test_nifti_roundtrip_like_header(tmp_path, rng):
 
 
 def test_data_reader_png():
-    r = DataReader("/root/reference/data/2D_Lena_256_noise.png")
+    r = DataReader(data_path("2D_Lena_256_noise.png"))
     r.read_data()
     d = r.get_data()
     assert d.shape == (256, 256)
@@ -72,3 +74,35 @@ def test_data_writer_roundtrips(tmp_path, rng):
     txt = str(tmp_path / "arr.txt")
     DataWriter(data, txt).write_data()
     assert os.path.exists(txt)
+
+
+def test_standalone_data_generation(tmp_path):
+    """A checkout without the reference data dir can generate its full
+    stand-in input set (VERDICT round-2 item 7): every bundled-name file is
+    produced deterministically and loads through the package's readers."""
+    from nsol_tpu.data import _FILES, generate_standalone_data
+
+    out = str(tmp_path / "gen")
+    generate_standalone_data(out)
+    for name in _FILES:
+        assert os.path.isfile(os.path.join(out, name)), name
+
+    r = DataReader(os.path.join(out, "2D_Lena_256_noise.png"))
+    r.read_data()
+    assert r.get_data().shape == (256, 256)
+
+    img = read_nifti(os.path.join(out, "3D_SheppLoganPhantom_64.nii.gz"))
+    assert img.data.shape == (64, 64, 64)
+    assert 0.0 <= img.data.min() and img.data.max() == 255.0
+    # phantom structure: bright skull shell, darker interior
+    assert img.data[32, 32, 32] < img.data.max()
+
+    # idempotent + deterministic
+    d1 = np.asarray(read_nifti(
+        os.path.join(out, "3D_SheppLoganPhantom_64.nii.gz")).data)
+    generate_standalone_data(out)
+    out2 = str(tmp_path / "gen2")
+    generate_standalone_data(out2)
+    d2 = np.asarray(read_nifti(
+        os.path.join(out2, "3D_SheppLoganPhantom_64.nii.gz")).data)
+    np.testing.assert_array_equal(d1, d2)
