@@ -111,6 +111,128 @@ def difference_matrix(n, dtype=np.float32):
     return D.astype(dtype)
 
 
+def _exact_bf16_matmul(u, C, axis, ndim):
+    """Minor-axis matmul with a matrix whose entries are EXACT in bfloat16
+    (the ±1/0 difference matrices): 3-way bf16 split of ``u``, one DEFAULT
+    MXU pass each. f32-faithful — C has no low part, and the third split
+    term carries ``u``'s residual below 2⁻¹⁶ relative — at HALF of
+    HIGHEST's 6 passes."""
+    d = lax.Precision.DEFAULT
+    u1 = u.astype(jnp.bfloat16).astype(u.dtype)
+    r1 = u - u1
+    u2 = r1.astype(jnp.bfloat16).astype(u.dtype)
+    u3 = r1 - u2
+    return (_minor_matmul(u1, C, axis, ndim, d)
+            + _minor_matmul(u2, C, axis, ndim, d)
+            + _minor_matmul(u3, C, axis, ndim, d))
+
+
+#: minor-axis length from which the block-banded difference schedule
+#: replaces the dense (n, n) matmul (crossover measured between 256 and
+#: 1024 — BASELINE.md config-4 note; at 256 the dense matmul already
+#: matches the MXU's native 128-contraction granularity closely)
+_BANDED_MIN_AXIS = 512
+
+
+def _banded_diff_lane(u, Cblk, cross, ndim):
+    """Lane-axis difference apply as 128-wide block-banded matmuls.
+
+    ``D`` is bidiagonal, so its (128, 128)-blocked form has identical
+    diagonal blocks (``difference_matrix(128)``) plus a single-corner
+    off-diagonal block. Per chunk: one exact-bf16 matmul (128 MACs/element
+    instead of the dense n) plus the corner term as a masked single-lane
+    broadcast on the VPU — O(axis_len/128)× fewer MACs. ``cross=+1`` is
+    the forward difference (chunk's last lane += next chunk's first),
+    ``cross=−1`` the adjoint (first lane += previous chunk's last)."""
+    n = u.shape[-1]
+    nb = n // 128
+    lane = lax.broadcasted_iota(jnp.int32, u.shape[:-1] + (128,), ndim - 1)
+    chunks = []
+    for j in range(nb):
+        uj = lax.slice_in_dim(u, j * 128, (j + 1) * 128, axis=ndim - 1)
+        yj = _exact_bf16_matmul(uj, Cblk, ndim - 1, ndim)
+        if cross > 0 and j < nb - 1:
+            nxt = lax.slice_in_dim(u, (j + 1) * 128, (j + 1) * 128 + 1,
+                                   axis=ndim - 1)
+            yj = yj + jnp.where(lane == 127, nxt, 0.0)
+        if cross < 0 and j > 0:
+            prv = lax.slice_in_dim(u, j * 128 - 1, j * 128, axis=ndim - 1)
+            yj = yj + jnp.where(lane == 0, prv, 0.0)
+        chunks.append(yj)
+    return jnp.concatenate(chunks, axis=ndim - 1)
+
+
+def banded_window_matrix(M, dtype=None):
+    """(384, 128) windowed-band form of a SHIFT-INVARIANT banded (n, n)
+    matrix ``M`` (circulant blur normal, interior Laplacian rows), for
+    :func:`_banded_window_matmul`. Because the band is shift-invariant,
+    every output 128-block ``j`` is the same contraction of the 3-block
+    input window ``u[(j−1)·128 : (j+2)·128)`` (wrapped at the ends):
+    extract it once from the first interior block row. Requires n ≥ 384
+    and a band half-width ≤ 122."""
+    n = M.shape[0]
+    if n < 384 or n % 128:
+        raise ValueError("banded window form needs n >= 384, n % 128 == 0")
+    W = np.asarray(M[128:256, 0:384]).T.copy()
+    return W.astype(dtype or M.dtype)
+
+
+def _banded_window_matmul(u, W, axis, ndim, precision):
+    """Minor-axis matmul with a shift-invariant banded matrix in windowed
+    form ``W`` (384, 128): ``out_j = window_j · W`` with the window
+    wrapped at the axis ends — 384 MACs per element regardless of the
+    axis length, instead of the dense matmul's n (1.33× at 512, 2.7× at
+    1024). The caller fixes up non-circulant boundary rows (the
+    Laplacian's) afterwards."""
+    if axis == ndim - 2:
+        ut = jnp.swapaxes(u, ndim - 2, ndim - 1)
+        yt = _banded_window_matmul(ut, W, ndim - 1, ndim, precision)
+        return jnp.swapaxes(yt, ndim - 2, ndim - 1)
+    if axis != ndim - 1:
+        raise ValueError("banded window matmul only on the minor axes")
+    n = u.shape[-1]
+    nb = n // 128
+    kw = dict(preferred_element_type=u.dtype, precision=precision)
+
+    def win_dot(win):
+        if precision == "high3":
+            w_hi = W.astype(jnp.bfloat16).astype(W.dtype)
+            u_hi = win.astype(jnp.bfloat16).astype(win.dtype)
+            d = lax.Precision.DEFAULT
+            kw3 = dict(preferred_element_type=u.dtype, precision=d)
+            dims = (((ndim - 1,), (0,)), ((), ()))
+            return (lax.dot_general(u_hi, w_hi, dims, **kw3)
+                    + lax.dot_general(u_hi, W - w_hi, dims, **kw3)
+                    + lax.dot_general(win - u_hi, w_hi, dims, **kw3))
+        return lax.dot_general(win, W, (((ndim - 1,), (0,)), ((), ())),
+                               **kw)
+
+    chunks = []
+    for j in range(nb):
+        start = ((j - 1) * 128) % n
+        if start + 384 <= n:
+            win = lax.slice_in_dim(u, start, start + 384, axis=ndim - 1)
+        else:
+            win = jnp.concatenate(
+                [lax.slice_in_dim(u, start, n, axis=ndim - 1),
+                 lax.slice_in_dim(u, 0, 384 - (n - start), axis=ndim - 1)],
+                axis=ndim - 1)
+        chunks.append(win_dot(win))
+    return jnp.concatenate(chunks, axis=ndim - 1)
+
+
+def _banded_diff(u, Cblk, cross, axis, ndim):
+    """Block-banded difference along either minor axis (sublane via the
+    swap sandwich, as in :func:`_minor_matmul`)."""
+    if axis == ndim - 1:
+        return _banded_diff_lane(u, Cblk, cross, ndim)
+    if axis != ndim - 2:
+        raise ValueError("banded diff only on the two minor axes")
+    ut = jnp.swapaxes(u, ndim - 2, ndim - 1)
+    yt = _banded_diff_lane(ut, Cblk, cross, ndim)
+    return jnp.swapaxes(yt, ndim - 2, ndim - 1)
+
+
 def _fwd_diff(u, axis):
     """Forward difference, zero pad right (ops/grad.py conventions)."""
     upper = jnp.concatenate(
@@ -466,8 +588,15 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
     # data movement (measured: the shift variant of this kernel LOSES to
     # the XLA path; the matmul variant wins — BASELINE.md). The untiled
     # leading axis of a 3-D volume keeps the cheap slab-reindex stencil.
-    D_np = [difference_matrix(shape[ax], np_dtype)
-            for ax in range(max(ndim - 2, 0), ndim)]
+    # Axes of >= _BANDED_MIN_AXIS use the block-banded schedule (identical
+    # 128-wide diagonal blocks + masked corner term) instead of the dense
+    # (n, n) matmul whose O(n) MACs/element sank the 1024² alpha sweep
+    # (round-2 VERDICT item 3).
+    minor_axes = list(range(max(ndim - 2, 0), ndim))
+    banded_ax = [shape[ax] >= _BANDED_MIN_AXIS and shape[ax] % 128 == 0
+                 for ax in minor_axes]
+    D_np = [difference_matrix(128 if banded else shape[ax], np_dtype)
+            for ax, banded in zip(minor_axes, banded_ax)]
     D_all = D_np + [D.T.copy() for D in D_np]
     n_minor = len(D_np)
 
@@ -487,7 +616,11 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
         def grad_comp(u, i):
             ax = ndim - 1 - i
             if ax >= ndim - 2:
-                t = _minor_matmul(u, Ds[ax - (ndim - 2)], ax, ndim)
+                k = ax - (ndim - 2)
+                if banded_ax[k]:
+                    t = _banded_diff(u, Ds[k], +1, ax, ndim)
+                else:
+                    t = _exact_bf16_matmul(u, Ds[k], ax, ndim)
             else:
                 t = _fwd_diff(u, ax)
             return t * inv_s[i]
@@ -497,8 +630,11 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
             for i in range(ndim):
                 ax = ndim - 1 - i
                 if ax >= ndim - 2:
-                    t = _minor_matmul(comps[i], DTs[ax - (ndim - 2)],
-                                      ax, ndim)
+                    k = ax - (ndim - 2)
+                    if banded_ax[k]:
+                        t = _banded_diff(comps[i], DTs[k], -1, ax, ndim)
+                    else:
+                        t = _exact_bf16_matmul(comps[i], DTs[k], ax, ndim)
                 else:
                     t = _fwd_diff_adj(comps[i], ax)
                 t = t * inv_s[i]

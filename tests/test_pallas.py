@@ -366,10 +366,30 @@ def test_blocked_admm_solve_matches_xla_path(rng):
             bj, br, bj, jnp.float32(0.01), jnp.float32(0.5))
 
     solve = blocked_admm_solve(shape, cov, iterations=4, iter_max=5,
-                               block=8, interpret=True)
+                               block=8, interpret=True, mode="step")
     x_blk = solve(b, b, 0.01, 0.5)
     np.testing.assert_allclose(np.asarray(x_blk), np.asarray(x_ref),
                                atol=5e-5, rtol=1e-4)
+
+    # fully fused sweep mode: same algorithm with the residual-norm
+    # recurrence for beta (exact-corrected every sweep) — trajectory
+    # equality only up to f32 recurrence noise, so compare the iterate
+    # loosely and the converged objective tightly
+    solve_sw = blocked_admm_solve(shape, cov, iterations=4, iter_max=5,
+                                  block=8, interpret=True, mode="sweep")
+    x_sw = solve_sw(b, b, 0.01, 0.5)
+    np.testing.assert_allclose(np.asarray(x_sw), np.asarray(x_ref),
+                               atol=2e-3, rtol=1e-3)
+
+    def objective(x):
+        x = jnp.asarray(x)
+        r = A(x) - bj
+        g = Bg(x)
+        return float(0.5 * jnp.sum(r * r)
+                     + 0.01 * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0))))
+
+    np.testing.assert_allclose(objective(x_sw), objective(x_ref),
+                               rtol=1e-4)
 
 
 def test_fused_pd_denoise_records_match_xla(rng):
@@ -447,3 +467,186 @@ def test_blocked_normal_operator_high3_close_to_highest(rng):
     b = np.asarray(h3(v, 0.5))
     scale = np.max(np.abs(a))
     assert np.max(np.abs(a - b)) / scale < 5e-5
+
+
+def test_blocked_cg_sweep_matches_composition(rng):
+    """One fused sweep == the unfused composition of the deferred x/r
+    updates, direction update, SPD apply, and all four reductions — for
+    both DMA buffering layouts."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops.conv import make_normal_blur_operator
+    from nsol_tpu.ops.pallas.blocked import make_blocked_cg_sweep
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    x = rng.rand(*shape).astype(np.float32)
+    r = rng.rand(*shape).astype(np.float32)
+    p = rng.rand(*shape).astype(np.float32)
+    q = rng.rand(*shape).astype(np.float32)
+
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    for n_buf in (2, 1):
+        sweep = make_blocked_cg_sweep(shape, cov, block=8, interpret=True,
+                                      n_buf=n_buf)
+        for a, beta, rho in ((0.0, 0.0, 0.5), (0.37, 0.83, 1.9)):
+            r_want = r - a * q
+            pn_want = r_want + beta * p
+            q_want = np.asarray(jax.jit(
+                lambda u: nA(u) + rho * G.gradient_normal(u))(
+                    jnp.asarray(pn_want)))
+            x_want = x + a * p
+            xo, ro, qo, pn, g, pq, rq, qq = sweep(x, r, p, q, a, beta,
+                                                  rho)
+            np.testing.assert_allclose(np.asarray(xo), x_want, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(ro), r_want, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(pn), pn_want, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(qo), q_want, atol=2e-5,
+                                       rtol=1e-5)
+            np.testing.assert_allclose(
+                float(g), float(np.sum(r_want * r_want)), rtol=1e-4)
+            np.testing.assert_allclose(
+                float(pq), float(np.sum(pn_want * q_want)), rtol=1e-4)
+            np.testing.assert_allclose(
+                float(rq), float(np.sum(r_want * q_want)), rtol=1e-4)
+            np.testing.assert_allclose(
+                float(qq), float(np.sum(q_want * q_want)), rtol=1e-4)
+
+
+def test_blocked_cg_step_single_buffered_matches(rng):
+    """n_buf=1 (the VMEM-tight 512-wide-plane layout) == n_buf=2."""
+    from nsol_tpu.ops.pallas.blocked import make_blocked_cg_step
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    r = rng.rand(*shape).astype(np.float32)
+    p = rng.rand(*shape).astype(np.float32)
+    s2 = make_blocked_cg_step(shape, cov, block=8, interpret=True)
+    s1 = make_blocked_cg_step(shape, cov, block=8, interpret=True,
+                              n_buf=1)
+    pn2, q2, pq2 = s2(r, p, 0.7, 1.1)
+    pn1, q1, pq1 = s1(r, p, 0.7, 1.1)
+    np.testing.assert_array_equal(np.asarray(pn1), np.asarray(pn2))
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_array_equal(np.asarray(pq1), np.asarray(pq2))
+
+
+def test_fused_pd_banded_diff_matches_xla(rng):
+    """Axes >= 512 route through the block-banded difference schedule
+    (128-wide diagonal-block matmuls + masked corner terms); a 512×256
+    image exercises banded-lane/dense-sublane mixing and a 512×512 one
+    both-banded. Must match primal_dual_solve like the dense path does."""
+    from nsol_tpu.ops.pallas import fused as F
+
+    for shape in ((256, 512), (512, 512)):
+        b = rng.rand(*shape).astype(np.float32)
+        ax0, ax1 = (s >= F._BANDED_MIN_AXIS for s in shape)
+        x_ref = _pd_reference(shape, "TVL2", "ALG2", b, 0.3, 8.0, 6)
+        solve = F.make_fused_pd_denoise_solver(
+            shape, "TVL2", alg_type="ALG2", iterations=6, interpret=True)
+        np.testing.assert_allclose(np.asarray(solve(b, b, 0.3, 8.0)),
+                                   x_ref, atol=2e-6, rtol=1e-5,
+                                   err_msg=str(shape))
+
+
+def test_banded_diff_primitive_matches_dense(rng):
+    """_banded_diff == the dense difference matmul on both minor axes and
+    both directions (forward / adjoint), at a banded-eligible length."""
+    import jax.numpy as jnp
+    from nsol_tpu.ops.pallas import fused as F
+
+    u = rng.rand(8, 512).astype(np.float32)
+    Dfull = F.difference_matrix(512)
+    Dblk = jnp.asarray(F.difference_matrix(128))
+    for axis, arr in ((1, u), (0, u.T.copy())):
+        for cross, C_full, C_blk in ((+1, Dfull, Dblk),
+                                     (-1, Dfull.T, Dblk.T)):
+            want = np.asarray(F._minor_matmul(
+                jnp.asarray(arr), jnp.asarray(C_full), axis, 2))
+            got = np.asarray(F._banded_diff(jnp.asarray(arr),
+                                            jnp.asarray(C_blk), cross,
+                                            axis, 2))
+            np.testing.assert_allclose(got, want, atol=1e-6,
+                                       err_msg="axis=%d cross=%d"
+                                       % (axis, cross))
+
+
+def test_banded_window_matmul_matches_dense(rng):
+    """Windowed-band (256, 128) form == the dense matmul for a circulant
+    blur-normal matrix on a 512 axis, both minor axes."""
+    import jax.numpy as jnp
+    from nsol_tpu.ops.matmul_ops import circulant_matrix
+    from nsol_tpu.ops.pallas import fused as F
+
+    taps = np.convolve(*(np.array([0.25, 0.5, 0.25]),) * 2)
+    N = circulant_matrix(taps, 512, np.float32)
+    W = jnp.asarray(F.banded_window_matrix(N))
+    u = rng.rand(16, 512).astype(np.float32)
+    for axis, arr in ((1, u), (0, u.T.copy())):
+        want = np.asarray(F._minor_matmul(jnp.asarray(arr),
+                                          jnp.asarray(N), axis, 2))
+        got = np.asarray(F._banded_window_matmul(
+            jnp.asarray(arr), W, axis, 2, jax.lax.Precision.HIGHEST))
+        np.testing.assert_allclose(got, want, atol=1e-6,
+                                   err_msg="axis=%d" % axis)
+
+
+def test_blocked_normal_operator_banded_axis(rng):
+    """Blocked AᵀA+ρDᵀD on a volume with a banded (>=512) minor axis ==
+    the XLA fused normal operators (wrap-correct circulant windows +
+    boundary-corrected Laplacian rows)."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops.conv import make_normal_blur_operator
+    from nsol_tpu.ops.pallas.blocked import (_Stencils,
+                                             make_blocked_normal_operator)
+
+    shape = (16, 512, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    st = _Stencils(shape, cov, 3, None, np.float32)
+    assert st.banded_y and not st.banded_x
+    v = rng.rand(*shape).astype(np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    want = np.asarray(jax.jit(
+        lambda u: nA(u) + 0.7 * G.gradient_normal(u))(jnp.asarray(v)))
+    apply_M = make_blocked_normal_operator(shape, cov, block=8,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(apply_M(v, 0.7)), want,
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_blocked_admm_solve_apply_mode_matches_xla(rng):
+    """mode='apply' (512-wide-plane fallback: XLA CG around the blocked
+    apply) == admm_solve(minimizer='cg') with the same operators."""
+    import scipy.ndimage as ndi
+    from functools import partial
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops.conv import make_normal_blur_operator
+    from nsol_tpu.ops.pallas.blocked import blocked_admm_solve
+    from nsol_tpu.solvers.admm import admm_solve
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = ndi.convolve(x_true, kern, mode="wrap").astype(np.float32)
+    from nsol_tpu.ops import matmul_ops as MM
+    from nsol_tpu.ops.conv import separable_factors
+
+    factors = separable_factors(
+        K.gaussian_kernel(cov, alpha_cut=3, dtype=np.float64))
+    A = MM.matmul_convolve_fn(factors, shape, np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+    bj = jnp.asarray(b)
+    br = jnp.zeros((3,) + shape, jnp.float32)
+    x_ref, _ = jax.jit(partial(
+        admm_solve, A, A, Bg, Bg_adj, iterations=4, iter_max=5,
+        minimizer="cg", normal_A=nA, normal_B=G.gradient_normal))(
+            bj, br, bj, jnp.float32(0.01), jnp.float32(0.5))
+    solve = blocked_admm_solve(shape, cov, iterations=4, iter_max=5,
+                               block=8, interpret=True, mode="apply")
+    np.testing.assert_allclose(np.asarray(solve(b, b, 0.01, 0.5)),
+                               np.asarray(x_ref), atol=5e-5, rtol=1e-4)
