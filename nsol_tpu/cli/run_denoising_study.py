@@ -67,10 +67,15 @@ def main():
     prox_g_conj = (prox_ops.prox_tv_conj if rtype.startswith("TV")
                    else prox_ops.prox_huber_conj)
 
+    # reconstruction_type/observation hints let run_sweep route alpha
+    # sweeps through the fused whole-solve Pallas kernel on TPU
+    # (solvers/wrappers.py::_fused_sweep); the prox closures remain the
+    # authoritative fallback for everything else.
     solver = PrimalDualSolver(
         prox_f=prox_f, prox_g_conj=prox_g_conj, B=grad_op,
         B_conj=grad_adj, L2=8, x0=np.array(observed_nda),
-        iterations=args.iterations, x_scale=x_scale, verbose=args.verbose)
+        iterations=args.iterations, x_scale=x_scale, verbose=args.verbose,
+        reconstruction_type=rtype, observation=bj)
 
     # --------------------------- Measures dict -----------------------------
     measures_dic = {}

@@ -562,10 +562,19 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
     SMEM, so alpha sweeps neither retrace nor recompile.
 
     ``record=True``: the kernel also accumulates the study engine's
-    L-curve measures in-graph — ``Reg = Σ‖(∇x)‖₂`` (isotropic TV) and
-    ``Data = Σ(x−b)²`` per iterate, row 0 = the x0 state (matching the
-    reference observer's add_x-at-init) — and ``solve`` returns
-    ``(x, {"Reg": (iterations+1,), "Data": (iterations+1,)})``.
+    L-curve measures in-graph per iterate, row 0 = the x0 state (matching
+    the reference observer's add_x-at-init); ``solve`` returns
+    ``(x, {"Reg": (iterations+1,), "Data": (iterations+1,)})``. The
+    measure FORMULAS follow the reconstruction type exactly as the
+    denoising-study CLI defines them (cli/run_denoising_study.py):
+    ``Data`` is SSD for L2 types and SAD for L1 types (no ½ factor —
+    reference quirk), ``Reg`` is isotropic TV for TV types and the
+    Huber-of-gradient-magnitude prior for Huber types. The Huber record
+    γ is a RUNTIME scalar (``solve(..., record_gamma=γ)``): callers
+    working in ``x/x_scale`` units pass ``γ/x_scale`` and postscale the
+    recorded value by ``x_scale²`` (the identity
+    ``huber(s·x, γ) = s²·huber(x, γ/s)``), keeping the study's
+    rescaled-iterate measure semantics without retracing per scale.
     """
     if reconstruction_type not in ("TVL1", "TVL2", "HuberL1", "HuberL2"):
         raise ValueError("unknown reconstruction type '%s'"
@@ -603,6 +612,8 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
     def kernel(b_ref, x0_ref, sig_ref, tau_ref, ft_ref, th_ref,
                *mat_refs):
         if record:
+            rg_ref = mat_refs[0]
+            mat_refs = mat_refs[1:]
             out_ref, reg_ref, data_ref = mat_refs[-3:]
             mat_refs = mat_refs[:-3]
         else:
@@ -642,14 +653,22 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
             return out
 
         def write_measures(t, u):
-            # study-engine L-curve feeds (benchmarks config 4 record_fn)
+            # study-engine L-curve feeds, type-matched formulas
+            # (cli/run_denoising_study.py measures_dic)
             g2 = None
             for i in range(ndim):
                 gi = grad_comp(u, i)
                 g2 = gi * gi if g2 is None else g2 + gi * gi
-            reg = jnp.sum(jnp.sqrt(g2))
+            if huber:
+                grec = rg_ref[0, 0]
+                g2rec = grec * grec
+                reg = 0.5 * jnp.sum(jnp.where(
+                    g2 < g2rec, g2,
+                    2.0 * grec * jnp.sqrt(g2) - g2rec))
+            else:
+                reg = jnp.sum(jnp.sqrt(g2))
             d = u - b
-            data = jnp.sum(d * d)
+            data = jnp.sum(jnp.abs(d)) if ell1 else jnp.sum(d * d)
             reg_ref[pl.ds(t, 1), :] = jnp.full((1, 128), reg, dtype)
             data_ref[pl.ds(t, 1), :] = jnp.full((1, 128), data, dtype)
 
@@ -701,10 +720,12 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
         out_shape = (out_shape, rec_shape, rec_shape)
         out_specs = (vmem, vmem, vmem)
 
+    rec_smem = [pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] \
+        if record else []
     call = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vmem, vmem, smem, smem, smem, smem]
+        in_specs=[vmem, vmem, smem, smem, smem, smem] + rec_smem
         + [vmem] * len(mats),
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
@@ -712,12 +733,14 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
         interpret=interpret,
     )
 
-    def solve(b, x0, alpha, L2):
+    def solve(b, x0, alpha, L2, record_gamma=huber_gamma):
         sigma, tau, ft, theta = _pd_schedules(alpha, L2, iterations,
                                               alg_type, dtype)
+        extra = ((jnp.full((1, 1), record_gamma, dtype),) if record
+                 else ())
         out = call(jnp.asarray(b, dtype), jnp.asarray(x0, dtype),
                    sigma[:, None], tau[:, None], ft[:, None],
-                   theta[:, None], *mats)
+                   theta[:, None], *extra, *mats)
         if record:
             x, reg, data = out
             return x, {"Reg": reg[:, 0], "Data": data[:, 0]}

@@ -298,7 +298,8 @@ class PrimalDualSolver(Solver):
     (reference: nsol/primal_dual_solver.py:26-403)."""
 
     def __init__(self, prox_f, prox_g_conj, B, B_conj, L2, x0, alpha=0.01,
-                 iterations=10, x_scale=1., verbose=0, alg_type="ALG2"):
+                 iterations=10, x_scale=1., verbose=0, alg_type="ALG2",
+                 reconstruction_type=None, observation=None):
         Solver.__init__(self, x0=x0, x_scale=x_scale, verbose=verbose)
         self._prox_f = prox_f
         self._prox_g_conj = prox_g_conj
@@ -308,6 +309,15 @@ class PrimalDualSolver(Solver):
         self._alpha = float(alpha)
         self._iterations = int(iterations)
         self._alg_type = alg_type
+        #: optional problem hints: when the proxes encode one of the four
+        #: denoising reconstruction types and ``observation`` is the
+        #: KERNEL-SCALE observation (``b / x_scale``), ``run_sweep`` can
+        #: route through the fused whole-solve Pallas PD kernel with
+        #: in-kernel Reg/Data recording (BASELINE config 4: 0.173 s vs
+        #: 0.877 s per 64-alpha Man-1024 sweep, 2026-08-21). Closures
+        #: stay authoritative for everything else.
+        self._reconstruction_type = reconstruction_type
+        self._observation = observation
         self._solve_cache = {}
 
     def set_alpha(self, alpha):
@@ -362,9 +372,63 @@ class PrimalDualSolver(Solver):
         self._x = np.asarray(x)
         self._push_records(records)
 
+    def _fused_sweep(self, alphas, measures):
+        """Config-4 fast path: the whole Chambolle–Pock solve as ONE
+        Pallas program vmapped over the alpha batch, with the study's
+        Reg/Data measures recorded in-kernel and postscaled to the
+        rescaled-iterate semantics host-side (Reg_TV and Data_SAD scale
+        ×s, Data_SSD ×s², Reg_Huber via the ``γ/s`` runtime record gamma
+        and ×s²). Returns None when the problem/measures fall outside
+        the kernel's scope (generic prox closures stay authoritative)."""
+        import os
+
+        from nsol_tpu.ops import priors
+        from nsol_tpu.ops.pallas import fused as _fused
+
+        rtype = self._reconstruction_type
+        interp = bool(os.environ.get("NSOL_TPU_FUSED_INTERPRET"))
+        shape = np.asarray(self._x0).shape
+        if (rtype not in ("TVL1", "TVL2", "HuberL1", "HuberL2")
+                or self._observation is None
+                or not (interp or jax.default_backend() != "cpu")
+                or len(shape) not in (2, 3)
+                or not _fused.fused_pd_fits_vmem(shape)
+                or (measures and not set(measures) <= {"Reg", "Data"})):
+            return None
+
+        record = bool(measures)
+        solve = _fused.make_fused_pd_denoise_solver(
+            shape, rtype, alg_type=self._alg_type,
+            iterations=self._iterations, record=record, interpret=interp)
+        x0 = jnp.asarray(self._x0)
+        b = jnp.asarray(self._observation, x0.dtype)
+        L2 = jnp.asarray(self._L2, x0.dtype)
+        s = self._x_scale
+        g_rec = jnp.asarray(priors.HUBER_PRIOR_GAMMA / s, x0.dtype)
+
+        def one(alpha):
+            if record:
+                return solve(b, x0, alpha, L2, record_gamma=g_rec)
+            return solve(b, x0, alpha, L2)
+
+        aj = jnp.asarray(np.asarray(alphas, np.float64), x0.dtype)
+        out = jit_closed(jax.vmap(one), (aj,))(aj)
+        x_all, recs = out if record else (out, None)
+        x_np = np.asarray(x_all) * s
+        if not record:
+            return x_np, None
+        reg_scale = s * s if rtype.startswith("Huber") else s
+        data_scale = s if rtype.endswith("L1") else s * s
+        scale_of = {"Reg": reg_scale, "Data": data_scale}
+        rec_np = {name: np.asarray(recs[name]) * scale_of[name]
+                  for name in measures}
+        return x_np, rec_np
+
     def run_sweep(self, param_values, measures=None, mesh=None):
         """Vmapped alpha sweep — the 64-alpha L-curve study runs as one
-        compiled batched program (BASELINE config 4).
+        compiled batched program (BASELINE config 4); on TPU, supported
+        denoising problems route through the fused whole-solve Pallas
+        kernel (`_fused_sweep`).
 
         ``mesh``: optional 1-axis ``jax.sharding.Mesh``; when given, the
         configuration batch is sharded across its devices (data-parallel
@@ -374,6 +438,11 @@ class PrimalDualSolver(Solver):
         record_fn = _make_record_fn(measures, self._x_scale)
         n = len(next(iter(param_values.values())))
         alphas = param_values.get("alpha", np.full(n, self._alpha))
+
+        if mesh is None and set(param_values) <= {"alpha"}:
+            fast = self._fused_sweep(alphas, measures)
+            if fast is not None:
+                return fast
 
         def solve_one(alpha):
             return _pd.primal_dual_solve(

@@ -650,3 +650,65 @@ def test_blocked_admm_solve_apply_mode_matches_xla(rng):
                                block=8, interpret=True, mode="apply")
     np.testing.assert_allclose(np.asarray(solve(b, b, 0.01, 0.5)),
                                np.asarray(x_ref), atol=5e-5, rtol=1e-4)
+
+
+def test_pd_run_sweep_fused_path_matches_xla(rng, monkeypatch):
+    """PrimalDualSolver.run_sweep with reconstruction hints routes through
+    the fused Pallas kernel (NSOL_TPU_FUSED_INTERPRET on CPU) and must
+    reproduce the XLA sweep — iterates AND the study's type-matched
+    Reg/Data measure records under a non-unit x_scale — for all four
+    reconstruction types."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops import prox as prox_ops
+    from nsol_tpu.ops import priors, measures as sim
+    from nsol_tpu.solvers.wrappers import PrimalDualSolver
+
+    monkeypatch.setenv("NSOL_TPU_FUSED_INTERPRET", "1")
+    shape = (24, 16)
+    observed = (rng.rand(*shape) * 200).astype(np.float64)
+    x_scale = float(observed.max())
+    bj = jnp.asarray(observed / x_scale, jnp.float32)
+    grad_op, grad_adj = G.make_gradient_operators()
+    alphas = np.array([0.05, 0.3, 0.9])
+
+    for rtype in ("TVL2", "TVL1", "HuberL2", "HuberL1"):
+        ell1 = rtype.endswith("L1")
+        hub = rtype.startswith("Huber")
+        if ell1:
+            prox_f = lambda x, tau: prox_ops.prox_ell1_denoising(x, tau,
+                                                                 bj)
+        else:
+            prox_f = lambda x, tau: prox_ops.prox_ell2_denoising(x, tau,
+                                                                 bj)
+        prox_g = (prox_ops.prox_huber_conj if hub
+                  else prox_ops.prox_tv_conj)
+        if hub:
+            reg_fn = lambda x: priors.huber(x, grad_op)
+        else:
+            reg_fn = lambda x: priors.total_variation(x, grad_op)
+        if ell1:
+            data_fn = lambda x: sim.sum_of_absolute_differences(x,
+                                                                observed)
+        else:
+            data_fn = lambda x: sim.sum_of_squared_differences(x,
+                                                               observed)
+        measures = {"Reg": reg_fn, "Data": data_fn}
+
+        def build(**hints):
+            return PrimalDualSolver(
+                prox_f=prox_f, prox_g_conj=prox_g, B=grad_op,
+                B_conj=grad_adj, L2=8, x0=np.array(observed),
+                iterations=8, x_scale=x_scale, **hints)
+
+        x_ref, rec_ref = build().run_sweep({"alpha": alphas},
+                                           measures=measures)
+        fused_solver = build(reconstruction_type=rtype, observation=bj)
+        assert fused_solver._fused_sweep(alphas, measures) is not None
+        x_f, rec_f = fused_solver.run_sweep({"alpha": alphas},
+                                            measures=measures)
+        np.testing.assert_allclose(x_f, x_ref, atol=2e-4, rtol=1e-4,
+                                   err_msg=rtype)
+        for m in ("Reg", "Data"):
+            np.testing.assert_allclose(
+                rec_f[m], rec_ref[m], rtol=2e-4, atol=1e-3,
+                err_msg="%s/%s" % (rtype, m))
