@@ -313,6 +313,75 @@ def config4_man1024_alpha_sweep_fused():
             "iters_per_sec": round(64 * 50 / per, 1)}
 
 
+def config3_sweep_shepp64_alpha_rho():
+    """Deconvolution-study sweep on the north-star volume: an 8×8
+    alpha×rho grid of Shepp-Logan 64³ TVL2 ADMM solves (20×10) with
+    Reg/Data recording, through ADMMLinearSolver.run_sweep — the XLA
+    vmapped path vs the fused whole-solve Pallas kernel route
+    (wrappers._fused_sweep, round 3)."""
+    from nsol_tpu.data import path as data_path
+    from nsol_tpu.io import read_nifti
+    from nsol_tpu.ops import kernels as K, losses as lf, priors
+    from nsol_tpu.solvers.wrappers import ADMMLinearSolver
+
+    img = read_nifti(data_path("3D_SheppLoganPhantom_64.nii.gz"))
+    import scipy.ndimage as ndi
+
+    cov = np.diag([1.0] * 3)
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    observed = ndi.convolve(img.data, kern, mode="wrap")
+    x_scale = float(observed.max())
+    shape = observed.shape
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="auto", dtype=DTYPE)
+    nA = C.make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                     dtype=DTYPE)
+    Bg, Bg_adj = G.make_gradient_operators()
+
+    obs_j = jnp.asarray(observed, jnp.float32)
+
+    def reg_fn(x):
+        return priors.total_variation(x, Bg)
+
+    def data_fn(x):
+        r = (A(jnp.asarray(x, jnp.float32)) - obs_j).reshape(-1)
+        return lf.cost_from_residual(r, "linear", 1.0)
+
+    measures = {"Reg": reg_fn, "Data": data_fn}
+    alphas = np.repeat(np.linspace(0.005, 0.05, 8), 8)
+    rhos = np.tile(np.linspace(0.2, 1.6, 8), 8)
+    grid = {"alpha": alphas, "rho": rhos}
+
+    def build(**hints):
+        return ADMMLinearSolver(
+            A=A, A_adj=A_adj, b=np.array(observed), B=Bg, B_adj=Bg_adj,
+            x0=np.array(observed), iterations=20, iter_max=10,
+            minimizer="cg", x_scale=x_scale, normal_A=nA,
+            normal_B=G.gradient_normal, **hints)
+
+    out = {"config": "shepp64_tvl2_admm_8x8_alpha_rho_sweep"}
+    import nsol_tpu.ops.matmul_ops  # noqa: F401 (keep import graph warm)
+    for tag, hints in (("xla", {}), ("fused", {"blur_cov": cov})):
+        solver = build(**hints)
+        if tag == "fused":
+            assert solver._fused_sweep(alphas, rhos, np.ones(64),
+                                       measures) is not None
+        t0 = time.perf_counter()
+        x_all, recs = solver.run_sweep(grid, measures=measures)
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = 2
+        for _ in range(n):
+            x_all, recs = solver.run_sweep(grid, measures=measures)
+        per = (time.perf_counter() - t0) / n
+        out["s_per_sweep_" + tag] = round(per, 3)
+        out["solves_per_sec_" + tag] = round(64 / per, 1)
+        out["final_data_" + tag] = round(float(recs["Data"][0][-1]), 1)
+    a, b = out["final_data_xla"], out["final_data_fused"]
+    out["max_rel_dev"] = round(abs(a - b) / max(abs(a), 1e-9), 6)
+    return out
+
+
 def config_scale_256cubed():
     """Synthetic 256³ TV-L2 deconvolution, ADMM + normal-equation CG on the
     MXU path — the single-chip scale demonstration (1 GiB-class working
@@ -550,6 +619,7 @@ def main():
                    config2_lena_robust_deconv,
                    config2_lena_robust_deconv_irls,
                    config2_lena_robust_deconv_fused,
+                   config3_sweep_shepp64_alpha_rho,
                    config4_man1024_alpha_sweep,
                    config4_man1024_alpha_sweep_fused,
                    config_scale_256cubed,

@@ -97,6 +97,22 @@ def main():
 
     import os
 
+    if "layouts" in sys.argv[2:]:
+        # z-block layout probe at the step formulation: (16, 2) default
+        # [double-buffered, 1.75x halo read amplification] vs (32, 1)
+        # [single-buffered, 1.375x amplification]
+        for tag, blk in (("step_high3_b16x2", None),
+                         ("step_high3_b32x1", 32)):
+            def make_f(blk=blk):
+                solve = blocked_admm_solve(shape, cov, iterations=50,
+                                           iter_max=10, mode="step",
+                                           block=blk, precision="high3")
+                return jit_closed(lambda bi, x0: solve(bi, x0, al, rh),
+                                  (b, b))
+
+            _measure("%d_%s" % (n, tag), make_f, b, obj_f, 3)
+        return
+
     if n <= 256:
         # mode A/B at 256-cubed: step (round-2 formulation) vs the fully
         # fused sweep, each at HIGHEST and high3

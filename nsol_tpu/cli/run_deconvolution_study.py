@@ -104,7 +104,8 @@ def main():
         reconstruction_info=data_reader.get_reconstruction_info(),
         x_ref=x_ref, tv_solver=args.solver, verbose=args.verbose,
         normal_A=normal_A, normal_B=normal_B,
-        irls_cg_iters=args.irls_cg_iters)
+        irls_cg_iters=args.irls_cg_iters,
+        blur_cov=cov, spacing=spacing)
     interface.set_up_parameter_study()
     parameter_study = interface.get_parameter_study()
     parameter_study.run()

@@ -48,9 +48,15 @@ class DeconvolutionSolverStudyInterface(object):
                  reconstruction_type, dimension, L2=8, rho=0.5,
                  x_ref=None, x_ref_mask=None, data_loss="linear",
                  data_loss_scale=1, tv_solver="PD", verbose=0, append=0,
-                 normal_A=None, normal_B=None, irls_cg_iters=8):
+                 normal_A=None, normal_B=None, irls_cg_iters=8,
+                 blur_cov=None, spacing=None):
         self._A = A
         self._A_adj = A_adj
+        # optional separable-blur hint (covariance + voxel spacing):
+        # lets the ADMM solver's run_sweep route whole parameter grids
+        # through the fused VMEM whole-solve Pallas kernel
+        self._blur_cov = blur_cov
+        self._spacing = spacing
         # Fused normal operators (A^T A, B^T B) enabling the
         # minimizer="cg" fast path of the inner quadratic solver
         self._normal_A = normal_A
@@ -199,7 +205,8 @@ class DeconvolutionSolverStudyInterface(object):
                 iter_max=self._iter_max, minimizer=self._minimizer,
                 verbose=self._verbose, normal_A=self._normal_A,
                 normal_B=self._normal_B,
-                irls_cg_iters=self._irls_cg_iters)
+                irls_cg_iters=self._irls_cg_iters,
+                blur_cov=self._blur_cov, spacing=self._spacing)
         raise ValueError("tv_solver must be 'PD' or 'ADMM'")
 
     def _set_up_solver_HuberL2(self):
@@ -256,7 +263,8 @@ class DeconvolutionParameterStudyInterface(DeconvolutionSolverStudyInterface):
                  reconstruction_info, L2=8, rho=0.5, x_ref=None,
                  x_ref_mask=None, data_loss="linear", data_loss_scale=1,
                  tv_solver="PD", verbose=0, append=False, use_vmap=True,
-                 normal_A=None, normal_B=None, irls_cg_iters=8):
+                 normal_A=None, normal_B=None, irls_cg_iters=8,
+                 blur_cov=None, spacing=None):
         DeconvolutionSolverStudyInterface.__init__(
             self, A=A, A_adj=A_adj, D=D, D_adj=D_adj, b=b, x0=x0,
             alpha=alpha, data_loss=data_loss,
@@ -266,7 +274,8 @@ class DeconvolutionParameterStudyInterface(DeconvolutionSolverStudyInterface):
             L2=L2, rho=rho, x_ref=x_ref, x_ref_mask=x_ref_mask,
             dimension=dimension, tv_solver=tv_solver, verbose=verbose,
             append=append, normal_A=normal_A, normal_B=normal_B,
-            irls_cg_iters=irls_cg_iters)
+            irls_cg_iters=irls_cg_iters, blur_cov=blur_cov,
+            spacing=spacing)
         self._name = name
         self._parameters = parameters
         self._reconstruction_info = reconstruction_info

@@ -294,8 +294,21 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
                            iterations=10, iter_max=10, dtype=jnp.float32,
                            precision=lax.Precision.HIGHEST,
                            data_loss="linear", irls_cg_iters=8,
-                           interpret=False):
+                           record=False, interpret=False):
     """Build ``solve(b, x0, alpha, rho) -> x`` as one Pallas program.
+
+    ``record=True``: the kernel also records the deconvolution study's
+    L-curve measures per outer iterate (row 0 = x0, matching the XLA
+    path's observer semantics) — ``Reg = TV(∇x)`` and
+    ``Data = ½ Σ ρ_C(r²)`` with ``r = Ax − b`` (one extra blur apply per
+    outer iteration) — and ``solve`` returns
+    ``(x, {"Reg": (iterations+1,), "Data": (iterations+1,)})``. The
+    Data record's loss scale ``C`` is an independent RUNTIME scalar
+    (``solve(..., record_dls=C)``): callers working in ``x/x_scale``
+    units pass ``data_loss_scale/x_scale`` and postscale the recorded
+    value by ``x_scale²`` (the f_scale family identity
+    ``cost_{C}(s·r) = s²·cost_{C/s}(r)``); the Reg record postscales
+    ``×x_scale``.
 
     ``shape``: static volume shape (2-D or 3-D). ``cov`` must be diagonal
     (separable blur). ``alpha``/``rho`` stay runtime scalars — sweeping
@@ -367,15 +380,18 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
 
     robust = data_loss != "linear"
     grad_rho = lf.gradient_loss(data_loss) if robust else None
+    loss_fn = lf.LOSSES[data_loss]
 
     def kernel(b_ref, x0_ref, alpha_ref, rho_ref, *rest_refs):
-        out_ref = rest_refs[-1]
-        if robust:
-            dls = rest_refs[0][0, 0]
-            mat_refs = rest_refs[1:-1]
+        rest = list(rest_refs)
+        dls = rest.pop(0)[0, 0] if robust else None
+        rec_dls = rest.pop(0)[0, 0] if record else None
+        if record:
+            out_ref, reg_ref, data_ref = rest[-3:]
+            mat_refs = rest[:-3]
         else:
-            dls = None
-            mat_refs = rest_refs[:-1]
+            out_ref = rest[-1]
+            mat_refs = rest[:-1]
         mats = [m[:] for m in mat_refs]
         A_m = mats[:len(A_mats)]
         N_m = mats[len(A_mats):len(A_mats) + len(N_mats)]
@@ -427,7 +443,23 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
                                 irls_cg_iters)
             return jnp.maximum(x + step, 0.0)
 
-        def outer(_, carry):
+        def write_measures(t, u):
+            # deconvolution-study L-curve feeds, observer semantics
+            # (interface.py Reg/Data trackers; one extra blur apply)
+            g2 = None
+            for i in range(ndim):
+                gi = grad_comp(u, i)
+                g2 = gi * gi if g2 is None else g2 + gi * gi
+            reg = jnp.sum(jnp.sqrt(g2))
+            r = conv_all(u, A_taps, A_m) - b
+            data = 0.5 * jnp.sum(loss_fn(r * r, f_scale=rec_dls))
+            reg_ref[pl.ds(t, 1), :] = jnp.full((1, 128), reg, dtype)
+            data_ref[pl.ds(t, 1), :] = jnp.full((1, 128), data, dtype)
+
+        if record:
+            write_measures(0, x)
+
+        def outer(it, carry):
             x, v, w = carry
             if robust:
                 x = lax.fori_loop(0, iter_max, irls_sweep, x)
@@ -436,6 +468,9 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
                     tuple(v[i] - w[i] for i in range(ndim)))
                 x = _cg_inkernel(apply_M, rhs, x, iter_max)
                 x = jnp.maximum(x, 0.0)  # reference bounds (0, ∞)
+
+            if record:
+                write_measures(it + 1, x)
 
             # vectorial soft-threshold (ops/prox.py:61-73)
             t = tuple(grad_comp(x, i) + w[i] for i in range(ndim))
@@ -458,12 +493,19 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
 
+    out_shape = jax.ShapeDtypeStruct(shape, dtype)
+    out_specs = vmem
+    if record:
+        rec_shape = jax.ShapeDtypeStruct((iterations + 1, 128), dtype)
+        out_shape = (out_shape, rec_shape, rec_shape)
+        out_specs = (vmem, vmem, vmem)
+
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        out_shape=out_shape,
         in_specs=[vmem, vmem, smem, smem] + ([smem] if robust else [])
-        + [vmem] * len(mats),
-        out_specs=vmem,
+        + ([smem] if record else []) + [vmem] * len(mats),
+        out_specs=out_specs,
         # The whole-solve working set (~24 MiB at 64³: x, b, Aᵀb, v, w,
         # CG r/p/q + op temporaries) exceeds the conservative 16 MiB
         # default scoped-VMEM cap; the hardware has far more.
@@ -472,13 +514,19 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
         interpret=interpret,
     )
 
-    def solve(b, x0, alpha, rho, data_loss_scale=1.0):
+    def solve(b, x0, alpha, rho, data_loss_scale=1.0, record_dls=1.0):
         a = jnp.full((1, 1), alpha, dtype)
         r = jnp.full((1, 1), rho, dtype)
         extra = ((jnp.full((1, 1), data_loss_scale, dtype),) if robust
                  else ())
-        return call(jnp.asarray(b, dtype), jnp.asarray(x0, dtype), a, r,
-                    *extra, *mats)
+        extra += ((jnp.full((1, 1), record_dls, dtype),) if record
+                  else ())
+        out = call(jnp.asarray(b, dtype), jnp.asarray(x0, dtype), a, r,
+                   *extra, *mats)
+        if record:
+            x, reg, data = out
+            return x, {"Reg": reg[:, 0], "Data": data[:, 0]}
+        return out
 
     return solve
 

@@ -186,7 +186,8 @@ class ADMMLinearSolver(LinearSolver):
                  alpha=0.01, iter_max=10, minimizer="lsmr",
                  data_loss="linear", data_loss_scale=1, rho=0.5,
                  iterations=10, x_scale=1, verbose=0,
-                 normal_A=None, normal_B=None, irls_cg_iters=8):
+                 normal_A=None, normal_B=None, irls_cg_iters=8,
+                 blur_cov=None, spacing=None):
         LinearSolver.__init__(
             self, A=A, A_adj=A_adj, b=b, x0=x0, alpha=alpha,
             x_scale=x_scale, data_loss=data_loss,
@@ -202,6 +203,14 @@ class ADMMLinearSolver(LinearSolver):
         self._normal_A = normal_A
         self._normal_B = normal_B
         self._irls_cg_iters = int(irls_cg_iters)
+        #: optional problem hints: set ``blur_cov`` (+``spacing``) ONLY
+        #: when ``A`` is the Gaussian blur of that covariance and ``B``
+        #: the stacked gradient — then ``run_sweep`` can route whole
+        #: alpha×rho(×data_loss_scale) grids through the fused VMEM
+        #: whole-solve Pallas kernel with in-kernel Reg/Data recording.
+        #: The operator closures stay authoritative for everything else.
+        self._blur_cov = blur_cov
+        self._spacing = spacing
         self._solve_cache = {}
 
     def set_rho(self, rho):
@@ -260,16 +269,83 @@ class ADMMLinearSolver(LinearSolver):
         Bx = self._B(x)
         return jnp.sum(jnp.sqrt(jnp.sum(Bx * Bx, axis=0)))
 
+    def _fused_sweep(self, alphas, rhos, dls, measures):
+        """TVL2-deconvolution fast path: the whole ADMM solve as ONE
+        Pallas program vmapped over the alpha×rho(×data_loss_scale)
+        batch, with the study interface's Reg/Data measures recorded
+        in-kernel (Reg = TV(∇x) ×s, Data = ½Σρ_C(r²) via the runtime
+        record scale ``C/s`` and ×s²). Returns None outside the kernel's
+        scope (separable-blur hint absent, other measures, non-zero
+        b_reg, unsupported loss/minimizer pairing)."""
+        import os
+
+        from nsol_tpu.ops.pallas import fused as _fused
+
+        interp = bool(os.environ.get("NSOL_TPU_FUSED_INTERPRET"))
+        shape = np.asarray(self._x0).shape
+        robust = self._data_loss != "linear"
+        if (self._blur_cov is None
+                or not (interp or jax.default_backend() != "cpu")
+                or len(shape) not in (2, 3)
+                or not _fused.fused_admm_fits_vmem(shape)
+                or not np.all(np.asarray(self._b_reg) == 0)
+                or (measures and not set(measures) <= {"Reg", "Data"})
+                or (self._minimizer != ("irls" if robust else "cg"))):
+            return None
+        try:
+            solve = _fused.make_fused_admm_solver(
+                shape, self._blur_cov, spacing=self._spacing,
+                iterations=self._iterations, iter_max=self._iter_max,
+                data_loss=self._data_loss,
+                irls_cg_iters=self._irls_cg_iters,
+                record=bool(measures), interpret=interp)
+        except ValueError:  # e.g. non-separable covariance hint
+            return None
+
+        x0 = jnp.asarray(self._x0)
+        b = jnp.asarray(self._b, x0.dtype)
+        s = self._x_scale
+        # the Data record keeps the STATIC interface-constructed loss
+        # scale even when data_loss_scale is swept — reference semantics:
+        # the measures dict is built once and never sees the reflective
+        # setter updates (deconvolution_..._interface.py:327-361)
+        rec_c = jnp.asarray(self._data_loss_scale / s, x0.dtype)
+
+        def one(alpha, rho, dl):
+            return solve(b, x0, alpha, rho, data_loss_scale=dl,
+                         record_dls=rec_c)
+
+        args = tuple(jnp.asarray(np.asarray(a, np.float64), x0.dtype)
+                     for a in (alphas, rhos, dls))
+        out = jit_closed(jax.vmap(one), args)(*args)
+        x_all, recs = out if measures else (out, None)
+        x_np = np.asarray(x_all) * s
+        if not measures:
+            return x_np, None
+        scale_of = {"Reg": s, "Data": s * s}
+        rec_np = {name: np.asarray(recs[name]) * scale_of[name]
+                  for name in measures}
+        return x_np, rec_np
+
     def run_sweep(self, param_values, measures=None, mesh=None):
         """Vmapped ``alpha×rho`` sweep — ONE compiled program for the whole
         grid (the reference loops it serially with reflective setters,
-        nsol/solver_parameter_study.py:170-221)."""
+        nsol/solver_parameter_study.py:170-221); on TPU, separable-blur
+        TVL2 problems route through the fused whole-solve Pallas kernel
+        (`_fused_sweep`)."""
         record_fn = _make_record_fn(measures, self._x_scale)
         n = len(next(iter(param_values.values())))
         alphas = param_values.get("alpha", np.full(n, self._alpha))
         rhos = param_values.get("rho", np.full(n, self._rho))
         dls = param_values.get("data_loss_scale",
                                np.full(n, self._data_loss_scale))
+
+        if mesh is None \
+                and set(param_values) <= {"alpha", "rho",
+                                          "data_loss_scale"}:
+            fast = self._fused_sweep(alphas, rhos, dls, measures)
+            if fast is not None:
+                return fast
 
         def solve_one(alpha, rho, data_loss_scale):
             return _admm.admm_solve(

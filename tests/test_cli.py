@@ -309,3 +309,60 @@ def test_run_deconvolution_blocked_path_matches_xla_cli(tmp_path):
     b = read_nifti(out_blocked).data
     scale = max(1.0, float(np.abs(a).max()))
     assert np.max(np.abs(a - b)) / scale < 5e-5
+
+
+def test_study_sweeps_fused_vs_xla_equivalence(tmp_path):
+    """The fused-kernel sweep fast paths (denoising PD + deconvolution
+    ADMM) produce the SAME persisted study artifacts as the XLA sweep:
+    run each study CLI twice — NSOL_TPU_FUSED_INTERPRET forcing the
+    Pallas route vs the default XLA route on CPU — and compare every
+    measure file and the reconstructions npz."""
+
+    def run_pair(cli, args, name, extra_env=None):
+        outs = {}
+        for tag, env_extra in (("xla", {}),
+                               ("fused", {"NSOL_TPU_FUSED_INTERPRET":
+                                          "1"})):
+            out = str(tmp_path / (name + "_" + tag))
+            env = dict(os.environ)
+            env.pop("JAX_PLATFORMS", None)
+            env["NSOL_TPU_PLATFORM"] = "cpu"
+            env["PYTHONPATH"] = REPO
+            env.update(env_extra)
+            p = subprocess.run(
+                [sys.executable, cli] + args + ["--dir-output", out],
+                env=env, cwd=REPO, capture_output=True, text=True,
+                timeout=600)
+            assert p.returncode == 0, p.stderr[-2000:]
+            outs[tag] = out
+        for m in ("Reg", "Data"):
+            a = np.loadtxt(os.path.join(
+                outs["xla"], "%s_measure_%s.txt" % (name, m)))
+            b = np.loadtxt(os.path.join(
+                outs["fused"], "%s_measure_%s.txt" % (name, m)))
+            np.testing.assert_allclose(b, a, rtol=2e-3,
+                                       atol=2e-3 * abs(a).max(),
+                                       err_msg="%s/%s" % (name, m))
+        ra = np.load(os.path.join(outs["xla"],
+                                  "%s_reconstructions.npz" % name))
+        rb = np.load(os.path.join(outs["fused"],
+                                  "%s_reconstructions.npz" % name))
+        for k in ("0", "1"):
+            # float16 storage: ulp ~= 0.125 at the image magnitude ~255,
+            # so tiny f32 path differences can cross a rounding boundary
+            atol = 2 * np.spacing(np.float16(abs(ra[k]).max()))
+            np.testing.assert_allclose(
+                rb[k].astype(np.float32), ra[k].astype(np.float32),
+                atol=float(atol), err_msg=name)
+
+    run_pair("nsol_run_denoising_study.py",
+             ["--observation",
+              os.path.join(DATA, "2D_Lena_256_noise.png"),
+              "--reconstruction-type", "TVL2", "--iterations", "5",
+              "--alpha-range", "0.1", "0.5", "2"], "TVL2")
+    run_pair("nsol_run_deconvolution_study.py",
+             ["--observation",
+              os.path.join(DATA, "2D_Lena_256_blur_noise.png"),
+              "--reconstruction-type", "TVL2", "--solver", "ADMM",
+              "--minimizer", "cg", "--iterations", "4", "--iter-max",
+              "4", "--alpha-range", "0.01", "0.05", "2"], "TVL2")

@@ -712,3 +712,72 @@ def test_pd_run_sweep_fused_path_matches_xla(rng, monkeypatch):
             np.testing.assert_allclose(
                 rec_f[m], rec_ref[m], rtol=2e-4, atol=1e-3,
                 err_msg="%s/%s" % (rtype, m))
+
+
+def test_admm_run_sweep_fused_path_matches_xla(rng, monkeypatch):
+    """ADMMLinearSolver.run_sweep with the separable-blur hint routes the
+    alpha×rho grid through the fused whole-solve Pallas kernel and must
+    reproduce the XLA vmapped sweep — iterates AND the deconvolution
+    study's Reg/Data records under a non-unit x_scale — for the linear/cg
+    and huber/irls inner-engine pairings."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K, grad as G, losses as lf
+    from nsol_tpu.ops import priors
+    from nsol_tpu.ops.conv import (make_blur_operators,
+                                   make_normal_blur_operator)
+    from nsol_tpu.solvers.wrappers import ADMMLinearSolver
+
+    monkeypatch.setenv("NSOL_TPU_FUSED_INTERPRET", "1")
+    shape = (16, 16)
+    cov = np.diag([1.0, 1.0])
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    x_true = (rng.rand(*shape) > 0.6) * 180.0
+    observed = ndi.convolve(x_true, kern, mode="wrap")
+    x_scale = float(observed.max())
+
+    A, A_adj = make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+
+    def reg_fn(x):
+        return priors.total_variation(x, Bg)
+
+    grid = {"alpha": np.array([0.01, 0.05]), "rho": np.array([0.5, 1.1])}
+    alphas = np.repeat(grid["alpha"], 2)
+    rhos = np.tile(grid["rho"], 2)
+
+    for data_loss, minimizer, kw in (
+            ("linear", "cg", {}),
+            ("huber", "irls", {"irls_cg_iters": 5})):
+        def data_fn(x, dl=data_loss):
+            r = (A(jnp.asarray(x, jnp.float32))
+                 - jnp.asarray(observed, jnp.float32)).reshape(-1)
+            return lf.cost_from_residual(r, dl, 2.0)
+
+        measures = {"Reg": reg_fn, "Data": data_fn}
+
+        def build(**hints):
+            return ADMMLinearSolver(
+                A=A, A_adj=A_adj, b=np.array(observed), B=Bg,
+                B_adj=Bg_adj, x0=np.array(observed), iterations=3,
+                iter_max=4, minimizer=minimizer, data_loss=data_loss,
+                data_loss_scale=2.0, x_scale=x_scale, normal_A=nA,
+                normal_B=G.gradient_normal, **dict(kw, **hints))
+
+        x_ref, rec_ref = build().run_sweep(
+            {"alpha": alphas, "rho": rhos}, measures=measures)
+        fused_solver = build(blur_cov=cov)
+        assert fused_solver._fused_sweep(
+            alphas, rhos, np.full(4, 2.0), measures) is not None
+        x_f, rec_f = fused_solver.run_sweep(
+            {"alpha": alphas, "rho": rhos}, measures=measures)
+        np.testing.assert_allclose(x_f, x_ref, atol=2e-3, rtol=1e-3,
+                                   err_msg=data_loss)
+        for m in ("Reg", "Data"):
+            np.testing.assert_allclose(
+                rec_f[m], rec_ref[m], rtol=2e-3,
+                atol=2e-3 * abs(np.asarray(rec_ref[m])).max(),
+                err_msg="%s/%s" % (data_loss, m))
