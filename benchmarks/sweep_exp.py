@@ -101,12 +101,26 @@ def main():
         # z-block layout probe at the step formulation: (16, 2) default
         # [double-buffered, 1.75x halo read amplification] vs (32, 1)
         # [single-buffered, 1.375x amplification]
-        for tag, blk in (("step_high3_b16x2", None),
-                         ("step_high3_b32x1", 32)):
-            def make_f(blk=blk):
-                solve = blocked_admm_solve(shape, cov, iterations=50,
-                                           iter_max=10, mode="step",
-                                           block=blk, precision="high3")
+        from nsol_tpu.ops.pallas.blocked import make_blocked_cg_step
+
+        for tag, blk, nbuf in (("step_high3_b16x2", None, None),
+                               ("step_high3_b32x1", 32, None),
+                               ("step_high3_b16x3", 16, 3)):
+            def make_f(blk=blk, nbuf=nbuf):
+                import functools
+
+                import nsol_tpu.ops.pallas.blocked as B
+
+                orig = B.make_blocked_cg_step
+                B.make_blocked_cg_step = functools.partial(orig,
+                                                           n_buf=nbuf) \
+                    if nbuf else orig
+                try:
+                    solve = blocked_admm_solve(
+                        shape, cov, iterations=50, iter_max=10,
+                        mode="step", block=blk, precision="high3")
+                finally:
+                    B.make_blocked_cg_step = orig
                 return jit_closed(lambda bi, x0: solve(bi, x0, al, rh),
                                   (b, b))
 

@@ -193,21 +193,25 @@ def _load_ext_pipelined(inputs, i, nblk, Z, block, r, n_buf=2):
                      wait=True)
         return jnp.asarray(0, i.dtype)
 
-    two = jnp.asarray(2, i.dtype)
-    slot = lax.rem(i, two)
-    nxt = lax.rem(i + two - 1, two)  # (i+1) % 2, avoiding i+1 overflowing
+    nb = jnp.asarray(n_buf, i.dtype)
+    slot = lax.rem(i, nb)
 
     @pl.when(i == 0)
-    def _():
-        for v_hbm, ext, sem in inputs:
-            _ext_dma(v_hbm, ext.at[0], sem.at[0], i, nblk, Z, block, r,
-                     wait=False)
+    def _():  # warm-up: start the first n_buf − 1 blocks
+        for k in range(min(n_buf - 1, nblk)):
+            for v_hbm, ext, sem in inputs:
+                _ext_dma(v_hbm, ext.at[k % n_buf], sem.at[k % n_buf],
+                         jnp.asarray(k, i.dtype), nblk, Z, block, r,
+                         wait=False)
 
-    @pl.when(i + 1 < nblk)
-    def _():
+    ahead = i + (n_buf - 1)
+
+    @pl.when(ahead < nblk)
+    def _():  # keep the pipeline n_buf − 1 blocks deep
         for v_hbm, ext, sem in inputs:
-            _ext_dma(v_hbm, ext.at[nxt], sem.at[nxt], i + 1, nblk, Z,
-                     block, r, wait=False)
+            _ext_dma(v_hbm, ext.at[lax.rem(ahead, nb)],
+                     sem.at[lax.rem(ahead, nb)], ahead, nblk, Z, block,
+                     r, wait=False)
 
     for v_hbm, ext, sem in inputs:
         _ext_dma(v_hbm, ext.at[slot], sem.at[slot], i, nblk, Z, block, r,

@@ -486,7 +486,7 @@ def test_blocked_cg_sweep_matches_composition(rng):
 
     nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
                                    dtype=np.float32)
-    for n_buf in (2, 1):
+    for n_buf in (2, 1, 3):
         sweep = make_blocked_cg_sweep(shape, cov, block=8, interpret=True,
                                       n_buf=n_buf)
         for a, beta, rho in ((0.0, 0.0, 0.5), (0.37, 0.83, 1.9)):
