@@ -423,6 +423,61 @@ def config3_sweep_shepp64_alpha_rho():
     return out
 
 
+def config_tk1_sweep_lena_alpha():
+    """TK1L2 deconvolution alpha sweep (64 alphas, Lena 256², CG
+    iter_max=10): XLA vmapped tikhonov_solve vs the fused whole-solve
+    Tikhonov Pallas kernel (round 3) — compute-only chained A/B."""
+    from nsol_tpu.ops.pallas.fused import make_fused_tikhonov_solver
+    from nsol_tpu.solvers.tikhonov import tikhonov_solve
+
+    blurred = _read("2D_Lena_256_blur_noise.png")
+    x_scale = float(blurred.max())
+    b = jnp.asarray(blurred / x_scale)
+    shape = blurred.shape
+    cov = np.diag([1.0, 1.0])
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="auto", dtype=DTYPE)
+    nA = C.make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                     dtype=DTYPE)
+    Bg, Bg_adj = G.make_gradient_operators()
+    alphas = jnp.linspace(0.005, 0.5, 64, dtype=DTYPE)
+    br = jnp.zeros((2,) + shape, DTYPE)
+
+    out = {"config": "lena256_tk1l2_64alpha_sweep_cg10"}
+    objs = {}
+    for tag in ("xla", "fused"):
+        if tag == "fused":
+            slv = make_fused_tikhonov_solver(shape, cov, reg="TK1",
+                                             iter_max=10)
+            f = jit_closed(
+                lambda a, x: jax.vmap(lambda ai: slv(b, x, ai))(a),
+                (alphas, b))
+        else:
+            def sweep(a, x):
+                return jax.vmap(lambda ai: tikhonov_solve(
+                    A, A_adj, Bg, Bg_adj, b, br, x, ai,
+                    minimizer="cg", iter_max=10, normal_A=nA,
+                    normal_B=G.gradient_normal))(a)
+
+            f = jit_closed(sweep, (alphas, b))
+        x_all = f(alphas, b)
+        np.asarray(x_all[0, 0, 0])
+        objs[tag] = float(np.asarray(jnp.sum(x_all)))
+        n = 5
+        t0 = time.perf_counter()
+        xi = b
+        for _ in range(n):
+            x_all = f(alphas, xi)
+            xi = x_all[0]
+        np.asarray(xi[0, 0])
+        per = (time.perf_counter() - t0) / n
+        out["s_per_sweep_" + tag] = round(per, 4)
+        out["solves_per_sec_" + tag] = round(64 / per, 1)
+    out["sum_dev_rel"] = round(
+        abs(objs["fused"] - objs["xla"]) / max(abs(objs["xla"]), 1e-9), 8)
+    return out
+
+
 def config_scale_256cubed():
     """Synthetic 256³ TV-L2 deconvolution, ADMM + normal-equation CG on the
     MXU path — the single-chip scale demonstration (1 GiB-class working
@@ -661,6 +716,7 @@ def main():
                    config2_lena_robust_deconv_irls,
                    config2_lena_robust_deconv_fused,
                    config3_sweep_shepp64_alpha_rho,
+                   config_tk1_sweep_lena_alpha,
                    config4_man1024_alpha_sweep,
                    config4_man1024_alpha_sweep_fused,
                    config_scale_256cubed,

@@ -153,7 +153,9 @@ class DeconvolutionSolverStudyInterface(object):
             data_loss_scale=self._data_loss_scale,
             iter_max=self._iter_max, minimizer=self._minimizer,
             verbose=self._verbose, normal_A=self._normal_A,
-            normal_B=ident, irls_cg_iters=self._irls_cg_iters)
+            normal_B=ident, irls_cg_iters=self._irls_cg_iters,
+            blur_cov=self._blur_cov, spacing=self._spacing,
+            reg_kind="TK0")
 
     def _set_up_solver_TK1L2(self):
         return TikhonovLinearSolver(
@@ -163,7 +165,9 @@ class DeconvolutionSolverStudyInterface(object):
             data_loss_scale=self._data_loss_scale,
             iter_max=self._iter_max, minimizer=self._minimizer,
             verbose=self._verbose, normal_A=self._normal_A,
-            normal_B=self._normal_B, irls_cg_iters=self._irls_cg_iters)
+            normal_B=self._normal_B, irls_cg_iters=self._irls_cg_iters,
+            blur_cov=self._blur_cov, spacing=self._spacing,
+            reg_kind="TK1")
 
     def _make_prox_lls(self):
         """prox of f(x)=½‖Ax−b‖² in scaled variables via inner CGLS

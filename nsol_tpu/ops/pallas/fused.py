@@ -48,6 +48,7 @@ from nsol_tpu.ops.grad import _spacing_array
 from nsol_tpu.ops import losses as lf
 
 __all__ = ["make_fused_admm_solver", "fused_admm_fits_vmem",
+           "make_fused_tikhonov_solver",
            "make_fused_pd_denoise_solver", "fused_pd_fits_vmem"]
 
 #: conservative VMEM budget for auto-selection: persistent state + CG
@@ -527,6 +528,148 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
             x, reg, data = out
             return x, {"Reg": reg[:, 0], "Data": data[:, 0]}
         return out
+
+    return solve
+
+
+def make_fused_tikhonov_solver(shape, cov, alpha_cut=3, spacing=None,
+                               reg="TK1", iter_max=10, dtype=jnp.float32,
+                               precision=lax.Precision.HIGHEST,
+                               data_loss="linear", irls_cg_iters=8,
+                               interpret=False):
+    """Build ``solve(b, x0, alpha, data_loss_scale=1) -> x``: one whole
+    Tikhonov-regularized deconvolution solve as ONE Pallas program — the
+    TK0L2/TK1L2 counterpart of :func:`make_fused_admm_solver`, covering
+    the study engine's remaining two reconstruction types.
+
+    ``reg="TK0"`` uses ``B = I`` (``BᵀB = I``), ``reg="TK1"`` the stacked
+    gradient (``BᵀB`` = the one-pass boundary-corrected Laplacian).
+    Semantics mirror ``tikhonov_solve`` exactly: ``b_reg = 0``, bounds
+    ``(0, ∞)`` (x0 clipped on entry, solution clipped on exit), linear
+    loss → ``iter_max`` warm-started CG iterations on the normal
+    equations (``minimizer="cg"``), robust loss → ``iter_max``
+    projected-Newton IRLS sweeps of ``irls_cg_iters`` masked-CG
+    iterations each (``minimizer="irls"``, b_reg-ignoring quirk
+    included). ``alpha``/``data_loss_scale`` stay runtime scalars.
+    Reference anchor: nsol/tikhonov_linear_solver.py:120-220.
+    """
+    from nsol_tpu.ops.kernels import gaussian_kernel
+    from nsol_tpu.ops.conv import separable_factors
+    from nsol_tpu.ops.matmul_ops import circulant_matrix, laplacian_matrix
+
+    if reg not in ("TK0", "TK1"):
+        raise ValueError("reg must be TK0 or TK1")
+    ndim = len(shape)
+    if ndim not in (2, 3):
+        raise ValueError("fused Tikhonov kernel supports 2-D/3-D volumes")
+    kernel64 = gaussian_kernel(cov, alpha_cut=alpha_cut, spacing=spacing,
+                               dtype=np.float64)
+    factors = separable_factors(kernel64)
+    if factors is None:
+        raise ValueError("fused Tikhonov kernel requires a separable "
+                         "(diagonal-covariance) blur")
+    s = _spacing_array(spacing, ndim)
+
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    n_stencil = 1 if ndim == 3 else 0
+    A_taps = [np.asarray(f, np_dtype) for f in factors[:n_stencil]]
+    N_taps = [np.convolve(f, f[::-1]).astype(np_dtype)
+              for f in factors[:n_stencil]]
+    A_mats = [circulant_matrix(f, shape[ax], np_dtype)
+              for ax, f in enumerate(factors) if ax >= n_stencil]
+    N_mats = [circulant_matrix(np.convolve(f, f[::-1]), shape[ax],
+                               np_dtype)
+              for ax, f in enumerate(factors) if ax >= n_stencil]
+    T_mats = ([] if reg == "TK0" else
+              [laplacian_matrix(shape[ax], s[ndim - 1 - ax], np_dtype)
+               for ax in range(n_stencil, ndim)])
+    lap0_inv_h2 = np.asarray(1.0 / s[ndim - 1] ** 2, np_dtype)
+
+    def conv_all(u, taps, mats):
+        for t in taps:
+            u = _roll_conv_axis0(u, t)
+        for k, C in enumerate(mats):
+            u = _minor_matmul(u, C, n_stencil + k, ndim, precision)
+        return u
+
+    def reg_apply(u, T_m):
+        if reg == "TK0":
+            return u
+        out = _lap_axis0_stencil(u, lap0_inv_h2) if n_stencil else None
+        for k, T in enumerate(T_m):
+            t = _minor_matmul(u, T, n_stencil + k, ndim, precision)
+            out = t if out is None else out + t
+        return out
+
+    robust = data_loss != "linear"
+    grad_rho = lf.gradient_loss(data_loss) if robust else None
+
+    def kernel(b_ref, x0_ref, alpha_ref, *rest_refs):
+        rest = list(rest_refs)
+        dls = rest.pop(0)[0, 0] if robust else None
+        out_ref = rest[-1]
+        mat_refs = rest[:-1]
+        mats = [m[:] for m in mat_refs]
+        A_m = mats[:len(A_mats)]
+        N_m = mats[len(A_mats):len(A_mats) + len(N_mats)]
+        T_m = mats[len(A_mats) + len(N_mats):]
+
+        alpha = alpha_ref[0, 0]
+        b = b_ref[:]
+        x = jnp.maximum(x0_ref[:], 0.0)  # clip x0 onto the box
+
+        if robust:
+            def irls_sweep(_, x):
+                r = conv_all(x, A_taps, A_m) - b
+                wts = grad_rho(r * r, f_scale=dls)
+                g = conv_all(wts * r, A_taps, A_m) \
+                    + alpha * reg_apply(x, T_m)
+                free = jnp.where(jnp.logical_and(x <= 0.0, g > 0.0),
+                                 0.0, 1.0).astype(x.dtype)
+
+                def apply_W(u):
+                    uf = free * u
+                    Auf = conv_all(uf, A_taps, A_m)
+                    return free * (conv_all(wts * Auf, A_taps, A_m)
+                                   + alpha * reg_apply(uf, T_m)) \
+                        + (u - uf)
+
+                step = _cg_inkernel(apply_W, -free * g,
+                                    jnp.zeros_like(x), irls_cg_iters)
+                return jnp.maximum(x + step, 0.0)
+
+            x = lax.fori_loop(0, iter_max, irls_sweep, x)
+        else:
+            At_b = conv_all(b, A_taps, A_m)  # A symmetric: Aᵀb = Ab
+
+            def apply_M(u):
+                return conv_all(u, N_taps, N_m) \
+                    + alpha * reg_apply(u, T_m)
+
+            x = _cg_inkernel(apply_M, At_b, x, iter_max)
+            x = jnp.maximum(x, 0.0)
+        out_ref[:] = x
+
+    mats = [jnp.asarray(m) for m in (A_mats + N_mats + T_mats)]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        in_specs=[vmem, vmem, smem] + ([smem] if robust else [])
+        + [vmem] * len(mats),
+        out_specs=vmem,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def solve(b, x0, alpha, data_loss_scale=1.0):
+        a = jnp.full((1, 1), alpha, dtype)
+        extra = ((jnp.full((1, 1), data_loss_scale, dtype),) if robust
+                 else ())
+        return call(jnp.asarray(b, dtype), jnp.asarray(x0, dtype), a,
+                    *extra, *mats)
 
     return solve
 

@@ -72,7 +72,8 @@ class TikhonovLinearSolver(LinearSolver):
     def __init__(self, A, A_adj, b, B, B_adj, x0, alpha=0.01, b_reg=0,
                  data_loss="linear", data_loss_scale=1, minimizer="lsmr",
                  iter_max=10, x_scale=1, verbose=0, bounds=(0, np.inf),
-                 normal_A=None, normal_B=None, irls_cg_iters=8):
+                 normal_A=None, normal_B=None, irls_cg_iters=8,
+                 blur_cov=None, spacing=None, reg_kind=None):
         LinearSolver.__init__(
             self, A=A, A_adj=A_adj, b=b, x0=x0, alpha=alpha,
             x_scale=x_scale, data_loss=data_loss,
@@ -86,6 +87,14 @@ class TikhonovLinearSolver(LinearSolver):
         self._normal_A = normal_A
         self._normal_B = normal_B
         self._irls_cg_iters = int(irls_cg_iters)
+        #: optional problem hints: set ``blur_cov`` (+``spacing``) and
+        #: ``reg_kind`` ("TK0": B = I, "TK1": B = stacked gradient) ONLY
+        #: when A/B are exactly those operators — then ``run_sweep`` can
+        #: route alpha×data_loss_scale grids through the fused VMEM
+        #: whole-solve Pallas kernel (`make_fused_tikhonov_solver`).
+        self._blur_cov = blur_cov
+        self._spacing = spacing
+        self._reg_kind = reg_kind
         self._solve_cache = {}
 
     def set_irls_cg_iters(self, irls_cg_iters):
@@ -137,6 +146,62 @@ class TikhonovLinearSolver(LinearSolver):
         Bx = self._B(x)
         return 0.5 * jnp.sum(Bx * Bx)
 
+    def _fused_sweep(self, alphas, dls, record_fn):
+        """TK0L2/TK1L2 fast path: whole Tikhonov solves as ONE Pallas
+        program vmapped over the alpha×data_loss_scale batch. The study's
+        two-row records (x0 + solution) are evaluated with the ordinary
+        ``record_fn`` on the returned iterates — no in-kernel recording
+        needed. Returns None outside the kernel's scope."""
+        import os
+
+        from nsol_tpu.ops.pallas import fused as _fused
+
+        interp = bool(os.environ.get("NSOL_TPU_FUSED_INTERPRET"))
+        shape = np.asarray(self._x0).shape
+        robust = self._data_loss != "linear"
+        if (self._blur_cov is None
+                or self._reg_kind not in ("TK0", "TK1")
+                or not (interp or jax.default_backend() != "cpu")
+                or len(shape) not in (2, 3)
+                or not _fused.fused_admm_fits_vmem(shape)
+                or not np.all(np.asarray(self._b_reg) == 0)
+                or tuple(self._bounds or ()) != (0, np.inf)
+                or (self._minimizer != ("irls" if robust else "cg"))):
+            return None
+
+        x0 = jnp.asarray(self._x0)
+        b = jnp.asarray(self._b, x0.dtype)
+        grid = tuple(jnp.asarray(np.asarray(a, np.float64), x0.dtype)
+                     for a in (alphas, dls))
+        key = ("tik", self._reg_kind, self._data_loss, self._iter_max,
+               self._irls_cg_iters, interp, len(grid[0]))
+        if key not in self._solve_cache:
+            try:
+                solve = _fused.make_fused_tikhonov_solver(
+                    shape, self._blur_cov, spacing=self._spacing,
+                    reg=self._reg_kind, iter_max=self._iter_max,
+                    data_loss=self._data_loss,
+                    irls_cg_iters=self._irls_cg_iters, interpret=interp)
+            except ValueError:
+                return None
+
+            def fn(aj, dj, b, x0):
+                return jax.vmap(lambda a, d: solve(b, x0, a, d))(aj, dj)
+
+            self._solve_cache[key] = jit_closed(fn, grid + (b, x0))
+        x_all = self._solve_cache[key](*grid, b, x0)
+        rec_np = None
+        if record_fn is not None:
+            recs = jit_closed(
+                lambda xs, x0: jax.tree_util.tree_map(
+                    lambda a, c: jnp.stack([jnp.broadcast_to(a, c.shape),
+                                            c], axis=1),
+                    record_fn(x0),
+                    jax.vmap(record_fn)(xs)),
+                (x_all, x0))(x_all, x0)
+            rec_np = {k: np.asarray(v) for k, v in recs.items()}
+        return np.asarray(x_all) * self._x_scale, rec_np
+
     def run_sweep(self, param_values, measures=None, mesh=None):
         """Vmapped parameter sweep (TPU fast path of the study engine).
 
@@ -144,13 +209,21 @@ class TikhonovLinearSolver(LinearSolver):
         product already expanded), keys ⊆ {"alpha", "data_loss_scale"}.
         Returns ``(x_all, records)`` with x_all unscaled, records a dict
         name -> (n_configs, 2) array (measures at x0 and the solution,
-        mirroring the reference observer's two add_x calls).
+        mirroring the reference observer's two add_x calls). Supported
+        separable-blur TK0/TK1 problems route through the fused
+        whole-solve Pallas kernel (`_fused_sweep`).
         """
         record_fn = _make_record_fn(measures, self._x_scale)
         n = len(next(iter(param_values.values())))
         alphas = param_values.get("alpha", np.full(n, self._alpha))
         dls = param_values.get("data_loss_scale",
                                np.full(n, self._data_loss_scale))
+
+        if mesh is None \
+                and set(param_values) <= {"alpha", "data_loss_scale"}:
+            fast = self._fused_sweep(alphas, dls, record_fn)
+            if fast is not None:
+                return fast
 
         def solve_one(alpha, data_loss_scale):
             x = _tik.tikhonov_solve(

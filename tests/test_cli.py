@@ -366,3 +366,9 @@ def test_study_sweeps_fused_vs_xla_equivalence(tmp_path):
               "--reconstruction-type", "TVL2", "--solver", "ADMM",
               "--minimizer", "cg", "--iterations", "4", "--iter-max",
               "4", "--alpha-range", "0.01", "0.05", "2"], "TVL2")
+    run_pair("nsol_run_deconvolution_study.py",
+             ["--observation",
+              os.path.join(DATA, "2D_Lena_256_blur_noise.png"),
+              "--reconstruction-type", "TK1L2",
+              "--minimizer", "cg", "--iter-max", "6",
+              "--alpha-range", "0.01", "0.05", "2"], "TK1L2")

@@ -781,3 +781,92 @@ def test_admm_run_sweep_fused_path_matches_xla(rng, monkeypatch):
                 rec_f[m], rec_ref[m], rtol=2e-3,
                 atol=2e-3 * abs(np.asarray(rec_ref[m])).max(),
                 err_msg="%s/%s" % (data_loss, m))
+
+
+def test_fused_tikhonov_kernel_matches_xla(rng):
+    """Fused whole-solve Tikhonov kernel == tikhonov_solve for TK0/TK1 ×
+    linear(cg)/huber(irls), bounds (0, ∞), b_reg = 0."""
+    import scipy.ndimage as ndi
+    from functools import partial
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops.conv import (make_blur_operators,
+                                   make_normal_blur_operator)
+    from nsol_tpu.ops.pallas.fused import make_fused_tikhonov_solver
+    from nsol_tpu.solvers.tikhonov import tikhonov_solve
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = ndi.convolve(x_true, kern, mode="wrap").astype(np.float32)
+    A, A_adj = make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+    ident = lambda z: z
+    bj = jnp.asarray(b)
+
+    for reg, B, B_adj, nB in (("TK0", ident, ident, ident),
+                              ("TK1", Bg, Bg_adj, G.gradient_normal)):
+        br = jnp.zeros_like(B(bj))
+        for data_loss, minimizer in (("linear", "cg"), ("huber", "irls")):
+            x_ref = jax.jit(partial(
+                tikhonov_solve, A, A_adj, B, B_adj,
+                data_loss=data_loss, data_loss_scale=2.0,
+                minimizer=minimizer, iter_max=6, irls_cg_iters=5,
+                normal_A=nA, normal_B=nB))(
+                    bj, br, bj, jnp.float32(0.05))
+            solve = make_fused_tikhonov_solver(
+                shape, cov, reg=reg, iter_max=6, data_loss=data_loss,
+                irls_cg_iters=5, interpret=True)
+            x_f = solve(b, b, 0.05, data_loss_scale=2.0)
+            np.testing.assert_allclose(
+                np.asarray(x_f), np.asarray(x_ref), atol=5e-5, rtol=1e-4,
+                err_msg="%s/%s" % (reg, data_loss))
+
+
+def test_tikhonov_run_sweep_fused_path_matches_xla(rng, monkeypatch):
+    """TikhonovLinearSolver.run_sweep with the TK hints routes through
+    the fused kernel and reproduces the XLA sweep — iterates AND the
+    two-row (x0, solution) records under non-unit x_scale."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K, grad as G, priors
+    from nsol_tpu.ops.conv import (make_blur_operators,
+                                   make_normal_blur_operator)
+    from nsol_tpu.solvers.wrappers import TikhonovLinearSolver
+
+    monkeypatch.setenv("NSOL_TPU_FUSED_INTERPRET", "1")
+    shape = (16, 16)
+    cov = np.diag([1.0, 1.0])
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    observed = ndi.convolve((rng.rand(*shape) > 0.6) * 170.0, kern,
+                            mode="wrap")
+    x_scale = float(observed.max())
+    A, A_adj = make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+    alphas = np.array([0.02, 0.08, 0.3])
+    measures = {"Reg": lambda x: priors.first_order_tikhonov(x, Bg)}
+
+    def build(**hints):
+        return TikhonovLinearSolver(
+            A=A, A_adj=A_adj, b=np.array(observed), B=Bg, B_adj=Bg_adj,
+            x0=np.array(observed), iter_max=6, minimizer="cg",
+            x_scale=x_scale, normal_A=nA, normal_B=G.gradient_normal,
+            **hints)
+
+    x_ref, rec_ref = build().run_sweep({"alpha": alphas},
+                                       measures=measures)
+    fused_solver = build(blur_cov=cov, reg_kind="TK1")
+    assert fused_solver._fused_sweep(alphas, np.ones(3),
+                                     lambda x: {}) is not None
+    x_f, rec_f = fused_solver.run_sweep({"alpha": alphas},
+                                        measures=measures)
+    np.testing.assert_allclose(x_f, x_ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(rec_f["Reg"], rec_ref["Reg"], rtol=1e-3)
+    assert rec_f["Reg"].shape == (3, 2)
