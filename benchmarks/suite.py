@@ -681,7 +681,17 @@ def config_scale_512cubed_blocked_cg():
     # emulated-HIGH matmuls (objective-equal at 256³ — BASELINE.md)
     kw = ({"precision": "high3"}
           if os.environ.get("NSOL_SUITE_512_HIGH3") else {})
-    normal_M = make_blocked_normal_operator(shape, cov, **kw)
+    # 2-D (z, y)-blocked apply for 512-wide y (round 3: 4.8 vs 4.6 it/s)
+    from nsol_tpu.ops.pallas.blocked import (
+        make_blocked_normal_operator_2d, pick_zy_blocks,
+    )
+
+    zb, yb = pick_zy_blocks(shape, 6)
+    if zb is not None:
+        normal_M = make_blocked_normal_operator_2d(
+            shape, cov, z_block=zb, y_block=yb, **kw)
+    else:
+        normal_M = make_blocked_normal_operator(shape, cov, **kw)
     Bg, Bg_adj = G.make_gradient_operators()
     xj = jnp.asarray(x_true)
     b = jit_closed(A, (xj,))(xj)

@@ -140,8 +140,8 @@ def main():
         # model) — mode resolves to "apply" (blocked apply + XLA CG). The
         # A/B here is the windowed-band circulant/Laplacian matmuls (384
         # MACs/element vs the dense 512).
-        variants = [("apply_dense_high3", "apply", "high3", True),
-                    ("apply_banded_high3", "apply", "high3", False)]
+        variants = [("apply_banded_high3", "apply", "high3", False),
+                    ("apply2d_high3", "apply2d", "high3", False)]
         n_chain = 2
 
     for tag, mode, prec, no_banded in variants:
@@ -152,6 +152,32 @@ def main():
             os.environ.pop("NSOL_TPU_NO_BANDED", None)
 
         def make_f(mode=mode, kw=kw):
+            if mode == "apply2d":
+                # 2-D (z, y)-blocked apply under the XLA CG: same solve
+                # structure as mode="apply" with the 1-D operator swapped
+                from functools import partial
+
+                from nsol_tpu.ops.pallas.blocked import (
+                    make_blocked_normal_operator_2d,
+                )
+                from nsol_tpu.solvers.admm import admm_solve
+
+                A2, A_adj2 = C.make_blur_operators(
+                    cov, alpha_cut=3, shape=shape, method="auto",
+                    dtype=DTYPE)
+                Bg2, Bg_adj2 = G.make_gradient_operators()
+                normal_M = make_blocked_normal_operator_2d(
+                    shape, cov, z_block=32, y_block=128, **kw)
+                br = jnp.zeros((3,) + shape, DTYPE)
+
+                def run(bi, x0):
+                    x, _ = admm_solve(A2, A_adj2, Bg2, Bg_adj2, bi, br,
+                                      x0, al, rh, iterations=50,
+                                      iter_max=10, minimizer="cg",
+                                      normal_M=normal_M)
+                    return x
+
+                return jit_closed(run, (b, b))
             solve = blocked_admm_solve(shape, cov, iterations=50,
                                        iter_max=10, mode=mode, **kw)
             return jit_closed(lambda bi, x0: solve(bi, x0, al, rh),

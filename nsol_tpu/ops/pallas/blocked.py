@@ -53,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 from nsol_tpu.ops.grad import _spacing_array
 from nsol_tpu.ops.pallas.fused import _minor_matmul, _banded_window_matmul
 
-__all__ = ["make_blocked_normal_operator", "make_blocked_cg_step",
+__all__ = ["make_blocked_normal_operator",
+           "make_blocked_normal_operator_2d", "make_blocked_cg_step",
            "make_blocked_cg_sweep", "blocked_admm_solve", "pick_z_block"]
 
 #: scoped-VMEM budget for layout selection: the 127 MiB CompilerParams cap
@@ -377,6 +378,227 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
     return apply
 
 
+def _band_matrix(taps, n_out, halo, dtype):
+    """(n_out, n_out + 2·halo) band contraction matrix for a halo-extended
+    axis window: output row ``i`` contracts window cols ``i .. i+2·halo``
+    with ``taps`` (len ≤ 2·halo+1, centered). Used by the 2-D blocked
+    kernels where the y halo arrives via DMA instead of a wrapped dense
+    circulant — the contraction is window-width (e.g. 140) instead of the
+    axis length (512+)."""
+    taps = np.asarray(taps, dtype)
+    off = halo - (len(taps) // 2)
+    C = np.zeros((n_out, n_out + 2 * halo), dtype)
+    for d, t in enumerate(taps):
+        idx = np.arange(n_out)
+        C[idx, idx + off + d] = t
+    return C
+
+
+def _ext_dma_2d(v_hbm, ext_slot, sem, i, j, nbz, nby, Z, Y, Bz, By, rz,
+                ry, wait):
+    """2-D wrap-halo DMA: load block (i, j)'s halo-extended slab
+    ``[i·Bz−rz, i·Bz+Bz+rz) × [j·By−ry, j·By+By+ry) × X`` with wrap in
+    BOTH axes, as up to 4 rectangular copies (≤2 z-ranges × ≤2
+    y-ranges). ``ry`` must be a multiple of 8: Mosaic requires DMA
+    slices along the sublane dimension to be tile-aligned (the blur halo
+    of 6 is padded up). Start/wait split as in :func:`_ext_dma`."""
+    def go(zs, zd, zn, ys, yd, yn):
+        c = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(zs, zn), pl.ds(ys, yn)],
+            ext_slot.at[pl.ds(zd, zn), pl.ds(yd, yn)], sem)
+        c.wait() if wait else c.start()
+
+    def y_cases(zs, zd, zn):
+        @pl.when(j == 0)
+        def _():
+            go(zs, zd, zn, Y - ry, 0, ry)
+            go(zs, zd, zn, 0, ry, By + ry)
+
+        @pl.when(j == nby - 1)
+        def _():
+            go(zs, zd, zn, Y - By - ry, 0, By + ry)
+            go(zs, zd, zn, 0, By + ry, ry)
+
+        if nby > 2:
+            @pl.when(jnp.logical_and(j > 0, j < nby - 1))
+            def _():
+                # dynamic sublane-dim offset: Mosaic needs the 8-divisible
+                # proof spelled out (By and ry are multiples of 8)
+                go(zs, zd, zn, pl.multiple_of(j * By - ry, 8), 0,
+                   By + 2 * ry)
+
+    @pl.when(i == 0)
+    def _():
+        y_cases(Z - rz, 0, rz)
+        y_cases(0, rz, Bz + rz)
+
+    @pl.when(i == nbz - 1)
+    def _():
+        y_cases(Z - Bz - rz, 0, Bz + rz)
+        y_cases(0, Bz + rz, rz)
+
+    if nbz > 2:
+        @pl.when(jnp.logical_and(i > 0, i < nbz - 1))
+        def _():
+            y_cases(i * Bz - rz, 0, Bz + 2 * rz)
+
+
+def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
+                                    z_block=32, y_block=128,
+                                    dtype=jnp.float32,
+                                    precision=lax.Precision.HIGHEST,
+                                    interpret=False):
+    """2-D (z, y)-blocked ``apply(v, rho) -> AᵀA v + rho·DᵀD v`` — the
+    512-wide-plane variant of :func:`make_blocked_normal_operator`.
+
+    Splitting y as well as z cuts the wrap-halo read amplification
+    (e.g. (44/32)·(140/128) = 1.50× at (32, 128) vs 2.5× for the 1-D
+    z-block 8 a 512³ volume is forced into) AND shrinks the y contraction
+    from the axis length to the window width (140 → 2 MXU tiles instead
+    of the windowed-band 384): the y-axis operators become rectangular
+    band matmuls (`_band_matrix`) over the DMA'd halo, with the
+    Laplacian's two global-boundary rows overwritten exactly. Both
+    boundary-condition semantics match ops/conv.py / ops/grad.py; parity
+    pinned in tests/test_pallas.py."""
+    st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
+    Z, Y, X = shape
+    r = st.halo
+    # sublane-dim DMA slices must be 8-aligned: pad the y halo up
+    ry = -((-r) // 8) * 8
+    Bz, By = int(z_block), int(y_block)
+    for n, B, h, name in ((Z, Bz, r, "z"), (Y, By, ry, "y")):
+        if n % B or n // B < 2 or B < h:
+            raise ValueError(
+                "%s axis %d must split into >=2 blocks of %d >= halo %d"
+                % (name, n, B, h))
+    if By % 8:
+        raise ValueError("y_block must be a multiple of 8")
+    nbz, nby = Z // Bz, Y // By
+
+    nfac = [np.convolve(f, f[::-1]) for f in st.factors]
+    lap_taps = np.array([-1.0, 2.0, -1.0]) * float(st.inv_h2_y)
+    Wny = jnp.asarray(_band_matrix(nfac[1], By, ry, st.np_dtype))
+    Wty = jnp.asarray(_band_matrix(lap_taps, By, ry, st.np_dtype))
+
+    def kernel(rho_ref, wny_ref, wty_ref, nx_ref, tx_ref, v_hbm, out_ref,
+               ext, sem):
+        i = pl.program_id(0)
+        jy = pl.program_id(1)
+        rho = rho_ref[0, 0]
+        l = i * nby + jy
+        nb2 = jnp.asarray(2, l.dtype)
+        slot = lax.rem(l, nb2)
+        nxt = lax.rem(l + 1, nb2)
+
+        @pl.when(l == 0)
+        def _():
+            _ext_dma_2d(v_hbm, ext.at[0], sem.at[0], i, jy, nbz, nby, Z,
+                        Y, Bz, By, r, ry, wait=False)
+
+        @pl.when(l + 1 < nbz * nby)
+        def _():
+            i1 = (l + 1) // nby
+            j1 = lax.rem(l + 1, jnp.asarray(nby, l.dtype))
+            _ext_dma_2d(v_hbm, ext.at[nxt], sem.at[nxt], i1, j1, nbz,
+                        nby, Z, Y, Bz, By, r, ry, wait=False)
+
+        _ext_dma_2d(v_hbm, ext.at[slot], sem.at[slot], i, jy, nbz, nby,
+                    Z, Y, Bz, By, r, ry, wait=True)
+
+        wny = wny_ref[:]
+        wty = wty_ref[:]
+        nx = nx_ref[:]
+        tx = tx_ref[:]
+
+        # blur normal: z taps over the extended slab, then the
+        # rectangular y band matmul, then the x matmul
+        qa = None
+        for t in range(2 * r + 1):
+            term = st.z_taps[t] * ext[slot, pl.ds(t, Bz)]
+            qa = term if qa is None else qa + term
+        qa = _minor_matmul(qa, wny, 1, 3, precision)
+        qa = _conv_minor(qa, nx, 2, st.banded_x, precision)
+
+        # ρ·DᵀD: z stencil (global-z boundary corrected), rectangular y
+        # band Laplacian (global-y boundary corrected), x matmul
+        zc = lambda s0: ext[slot, pl.ds(s0, Bz), pl.ds(ry, By)]
+        center = zc(r)
+        lz = 2.0 * center - zc(r + 1) - zc(r - 1)
+        rows = lax.broadcasted_iota(jnp.int32, (Bz, 1, 1), 0) + i * Bz
+        first = lax.slice_in_dim(center, 0, 1, axis=0) \
+            - lax.slice_in_dim(center, 1, 2, axis=0)
+        last = 2.0 * lax.slice_in_dim(center, Bz - 1, Bz, axis=0) \
+            - lax.slice_in_dim(center, Bz - 2, Bz - 1, axis=0)
+        lz = jnp.where(rows == 0, first, lz)
+        lz = jnp.where(rows == Z - 1, last, lz)
+
+        ly = _minor_matmul(ext[slot, pl.ds(r, Bz)], wty, 1, 3, precision)
+        ycols = lax.broadcasted_iota(jnp.int32, (1, By, 1), 1) + jy * By
+        u0 = lax.slice_in_dim(center, 0, 1, axis=1)
+        u1 = lax.slice_in_dim(center, 1, 2, axis=1)
+        um1 = lax.slice_in_dim(center, By - 1, By, axis=1)
+        um2 = lax.slice_in_dim(center, By - 2, By - 1, axis=1)
+        ly = jnp.where(ycols == 0, (u0 - u1) * st.inv_h2_y, ly)
+        ly = jnp.where(ycols == Y - 1,
+                       (2.0 * um1 - um2) * st.inv_h2_y, ly)
+
+        lap = lz * st.inv_h2_z + ly \
+            + _lap_minor(center, tx, 2, st.banded_x, st.inv_h2_x,
+                         precision)
+        out_ref[:] = qa + rho * lap
+
+    const = lambda shp: pl.BlockSpec(shp, lambda i, j: (0,) * len(shp),
+                                     memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nbz, nby),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const(Wny.shape), const(Wty.shape),
+            const(st.Nx.shape), const(st.Tx.shape),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((Bz, By, X), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def apply(v, rho):
+        rr = jnp.full((1, 1), rho, dtype)
+        return call(rr, Wny, Wty, st.Nx, st.Tx, jnp.asarray(v, dtype))
+
+    return apply
+
+
+def pick_zy_blocks(shape, halo, dtype=jnp.float32,
+                   budget_bytes=_LAYOUT_BUDGET_BYTES):
+    """(z_block, y_block) for the 2-D blocked apply, or (None, None).
+    Only worthwhile for >= 512-wide y (below that the 1-D z-blocking has
+    less halo overhead); working set = 2 double-buffered 2-D slabs + 2
+    output windows + ~6 block temporaries."""
+    Z, Y, X = shape
+    if Y < 512 or Y % 128:
+        return None, None
+    ry = -((-halo) // 8) * 8
+    row = X * jnp.dtype(dtype).itemsize
+    for Bz in (32, 16, 8):
+        if Z % Bz or Z // Bz < 2 or Bz < halo:
+            continue
+        By = 128
+        planes = 2 * (Bz + 2 * halo) * (By + 2 * ry) \
+            + (2 * 2 + 6) * Bz * By
+        if planes * row <= budget_bytes:
+            return Bz, By
+    return None, None
+
+
 def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
                          block=None, dtype=jnp.float32,
                          precision=lax.Precision.HIGHEST,
@@ -685,10 +907,20 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
     elif mode != "apply":
         raise ValueError("mode must be auto/sweep/step/apply, got %r"
                          % (mode,))
-    apply_M = make_blocked_normal_operator(shape, cov, alpha_cut=alpha_cut,
-                                           spacing=spacing, block=block,
-                                           dtype=dtype, precision=precision,
-                                           interpret=interpret)
+    # the r0/apply operator: prefer the 2-D (z, y)-blocked kernel for
+    # >= 512-wide y (lower halo amplification + window-width y
+    # contraction: 4.8 vs 4.6 it/s at 512-cubed, same session)
+    zb, yb = pick_zy_blocks(shape, _Stencils(shape, cov, alpha_cut,
+                                             spacing, dtype).halo, dtype)
+    if zb is not None and block is None:
+        apply_M = make_blocked_normal_operator_2d(
+            shape, cov, alpha_cut=alpha_cut, spacing=spacing, z_block=zb,
+            y_block=yb, dtype=dtype, precision=precision,
+            interpret=interpret)
+    else:
+        apply_M = make_blocked_normal_operator(
+            shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
+            dtype=dtype, precision=precision, interpret=interpret)
     # one-time Aᵀb (A symmetric ⇒ Aᵀb = Ab): loop-invariant, XLA matmuls.
     # ``precision`` may be the Pallas-only "high3" string (3-pass
     # emulated-HIGH inside the kernels); the XLA-side constant prep is

@@ -870,3 +870,67 @@ def test_tikhonov_run_sweep_fused_path_matches_xla(rng, monkeypatch):
     np.testing.assert_allclose(x_f, x_ref, atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(rec_f["Reg"], rec_ref["Reg"], rtol=1e-3)
     assert rec_f["Reg"].shape == (3, 2)
+
+
+def test_blocked_normal_operator_2d_matches_xla(rng):
+    """2-D (z, y)-blocked apply (rectangular y band matmuls over DMA'd
+    2-D wrap halos, boundary-corrected Laplacian rows) == the XLA fused
+    normal operators, incl. anisotropic spacing and runtime rho."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops.conv import make_normal_blur_operator
+    from nsol_tpu.ops.pallas.blocked import make_blocked_normal_operator_2d
+
+    for shape, spacing in (((16, 32, 16), None),
+                           ((24, 16, 16), (1.0, 1.5, 0.8))):
+        cov = np.diag([1.0, 1.0, 1.0])
+        v = rng.rand(*shape).astype(np.float32)
+        nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                       spacing=spacing, dtype=np.float32)
+        want = np.asarray(jax.jit(
+            lambda u: nA(u) + 1.3 * G.gradient_normal(u, spacing))(
+                jnp.asarray(v)))
+        ap = make_blocked_normal_operator_2d(
+            shape, cov, spacing=spacing, z_block=8, y_block=8,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(ap(v, 1.3)), want,
+                                   atol=2e-5, rtol=1e-5,
+                                   err_msg=str((shape, spacing)))
+
+
+def test_blocked_admm_solve_auto_2d_apply(rng):
+    """blocked_admm_solve(mode='apply') on a >=512-wide-y volume
+    auto-selects the 2-D (z, y)-blocked operator and still matches the
+    XLA path."""
+    import scipy.ndimage as ndi
+    from functools import partial
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops import matmul_ops as MM
+    from nsol_tpu.ops.conv import (separable_factors,
+                                   make_normal_blur_operator)
+    from nsol_tpu.ops.pallas.blocked import (blocked_admm_solve,
+                                             pick_zy_blocks)
+    from nsol_tpu.solvers.admm import admm_solve
+
+    shape = (16, 512, 16)
+    assert pick_zy_blocks(shape, 6)[0] is not None
+    cov = np.diag([1.0, 1.0, 1.0])
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = ndi.convolve(x_true, kern, mode="wrap").astype(np.float32)
+    factors = separable_factors(
+        K.gaussian_kernel(cov, alpha_cut=3, dtype=np.float64))
+    A = MM.matmul_convolve_fn(factors, shape, np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+    bj = jnp.asarray(b)
+    br = jnp.zeros((3,) + shape, jnp.float32)
+    x_ref, _ = jax.jit(partial(
+        admm_solve, A, A, Bg, Bg_adj, iterations=2, iter_max=4,
+        minimizer="cg", normal_A=nA, normal_B=G.gradient_normal))(
+            bj, br, bj, jnp.float32(0.01), jnp.float32(0.5))
+    solve = blocked_admm_solve(shape, cov, iterations=2, iter_max=4,
+                               interpret=True, mode="apply")
+    np.testing.assert_allclose(np.asarray(solve(b, b, 0.01, 0.5)),
+                               np.asarray(x_ref), atol=5e-5, rtol=1e-4)
