@@ -140,8 +140,8 @@ def main():
         # model) — mode resolves to "apply" (blocked apply + XLA CG). The
         # A/B here is the windowed-band circulant/Laplacian matmuls (384
         # MACs/element vs the dense 512).
-        variants = [("apply_banded_high3", "apply", "high3", False),
-                    ("apply2d_high3", "apply2d", "high3", False)]
+        variants = [("apply2d_high3", "apply2d", "high3", False),
+                    ("step2d_high3", "step2d", "high3", False)]
         n_chain = 2
 
     for tag, mode, prec, no_banded in variants:

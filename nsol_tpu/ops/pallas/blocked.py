@@ -55,7 +55,8 @@ from nsol_tpu.ops.pallas.fused import _minor_matmul, _banded_window_matmul
 
 __all__ = ["make_blocked_normal_operator",
            "make_blocked_normal_operator_2d", "make_blocked_cg_step",
-           "make_blocked_cg_sweep", "blocked_admm_solve", "pick_z_block"]
+           "make_blocked_cg_step_2d", "make_blocked_cg_sweep",
+           "blocked_admm_solve", "pick_z_block", "pick_zy_blocks"]
 
 #: scoped-VMEM budget for layout selection: the 127 MiB CompilerParams cap
 #: minus headroom for Mosaic's own temporaries (register spills to VMEM,
@@ -443,6 +444,78 @@ def _ext_dma_2d(v_hbm, ext_slot, sem, i, j, nbz, nby, Z, Y, Bz, By, rz,
             y_cases(i * Bz - rz, 0, Bz + 2 * rz)
 
 
+def _load_ext_2d_pipelined(inputs, i, jy, nbz, nby, Z, Y, Bz, By, r, ry):
+    """Double-buffered 2-D wrap-halo loads over the row-major (i, jy)
+    grid: wait for the current block's slabs, prefetch the next grid
+    step's into the other slot. Returns the current slot index."""
+    l = i * nby + jy
+    nb2 = jnp.asarray(2, l.dtype)
+    slot = lax.rem(l, nb2)
+    nxt = lax.rem(l + 1, nb2)
+
+    @pl.when(l == 0)
+    def _():
+        for v_hbm, ext, sem in inputs:
+            _ext_dma_2d(v_hbm, ext.at[0], sem.at[0], i, jy, nbz, nby, Z,
+                        Y, Bz, By, r, ry, wait=False)
+
+    @pl.when(l + 1 < nbz * nby)
+    def _():
+        i1 = (l + 1) // nby
+        j1 = lax.rem(l + 1, jnp.asarray(nby, l.dtype))
+        for v_hbm, ext, sem in inputs:
+            _ext_dma_2d(v_hbm, ext.at[nxt], sem.at[nxt], i1, j1, nbz,
+                        nby, Z, Y, Bz, By, r, ry, wait=False)
+
+    for v_hbm, ext, sem in inputs:
+        _ext_dma_2d(v_hbm, ext.at[slot], sem.at[slot], i, jy, nbz, nby,
+                    Z, Y, Bz, By, r, ry, wait=True)
+    return slot
+
+
+def _normal_center_2d(get, st, rho, i, jy, Bz, By, r, ry, refs,
+                      precision):
+    """``(AᵀA + ρ·DᵀD)`` of a 2-D halo-extended slab, evaluated on its
+    ``(Bz, By)`` center. ``get(s0, n)`` returns slab z-rows (full y
+    extension); ``refs = (wny, wty, nx, tx)`` — the rectangular y band
+    matrices plus the x-axis matrices. Boundary semantics as in
+    :func:`_normal_center`, with the y Laplacian's two global rows
+    overwritten exactly."""
+    wny, wty, nx, tx = refs
+    Z, Y, _ = st.shape
+
+    qa = None
+    for t in range(2 * r + 1):
+        term = st.z_taps[t] * get(t, Bz)
+        qa = term if qa is None else qa + term
+    qa = _minor_matmul(qa, wny, 1, 3, precision)
+    qa = _conv_minor(qa, nx, 2, st.banded_x, precision)
+
+    zc = lambda s0: get(s0, Bz)[:, ry:ry + By]
+    center = zc(r)
+    lz = 2.0 * center - zc(r + 1) - zc(r - 1)
+    rows = lax.broadcasted_iota(jnp.int32, (Bz, 1, 1), 0) + i * Bz
+    first = lax.slice_in_dim(center, 0, 1, axis=0) \
+        - lax.slice_in_dim(center, 1, 2, axis=0)
+    last = 2.0 * lax.slice_in_dim(center, Bz - 1, Bz, axis=0) \
+        - lax.slice_in_dim(center, Bz - 2, Bz - 1, axis=0)
+    lz = jnp.where(rows == 0, first, lz)
+    lz = jnp.where(rows == Z - 1, last, lz)
+
+    ly = _minor_matmul(get(r, Bz), wty, 1, 3, precision)
+    ycols = lax.broadcasted_iota(jnp.int32, (1, By, 1), 1) + jy * By
+    u0 = lax.slice_in_dim(center, 0, 1, axis=1)
+    u1 = lax.slice_in_dim(center, 1, 2, axis=1)
+    um1 = lax.slice_in_dim(center, By - 1, By, axis=1)
+    um2 = lax.slice_in_dim(center, By - 2, By - 1, axis=1)
+    ly = jnp.where(ycols == 0, (u0 - u1) * st.inv_h2_y, ly)
+    ly = jnp.where(ycols == Y - 1, (2.0 * um1 - um2) * st.inv_h2_y, ly)
+
+    lap = lz * st.inv_h2_z + ly \
+        + _lap_minor(center, tx, 2, st.banded_x, st.inv_h2_x, precision)
+    return qa + rho * lap, center
+
+
 def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
                                     z_block=32, y_block=128,
                                     dtype=jnp.float32,
@@ -484,68 +557,13 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
                ext, sem):
         i = pl.program_id(0)
         jy = pl.program_id(1)
-        rho = rho_ref[0, 0]
-        l = i * nby + jy
-        nb2 = jnp.asarray(2, l.dtype)
-        slot = lax.rem(l, nb2)
-        nxt = lax.rem(l + 1, nb2)
-
-        @pl.when(l == 0)
-        def _():
-            _ext_dma_2d(v_hbm, ext.at[0], sem.at[0], i, jy, nbz, nby, Z,
-                        Y, Bz, By, r, ry, wait=False)
-
-        @pl.when(l + 1 < nbz * nby)
-        def _():
-            i1 = (l + 1) // nby
-            j1 = lax.rem(l + 1, jnp.asarray(nby, l.dtype))
-            _ext_dma_2d(v_hbm, ext.at[nxt], sem.at[nxt], i1, j1, nbz,
-                        nby, Z, Y, Bz, By, r, ry, wait=False)
-
-        _ext_dma_2d(v_hbm, ext.at[slot], sem.at[slot], i, jy, nbz, nby,
-                    Z, Y, Bz, By, r, ry, wait=True)
-
-        wny = wny_ref[:]
-        wty = wty_ref[:]
-        nx = nx_ref[:]
-        tx = tx_ref[:]
-
-        # blur normal: z taps over the extended slab, then the
-        # rectangular y band matmul, then the x matmul
-        qa = None
-        for t in range(2 * r + 1):
-            term = st.z_taps[t] * ext[slot, pl.ds(t, Bz)]
-            qa = term if qa is None else qa + term
-        qa = _minor_matmul(qa, wny, 1, 3, precision)
-        qa = _conv_minor(qa, nx, 2, st.banded_x, precision)
-
-        # ρ·DᵀD: z stencil (global-z boundary corrected), rectangular y
-        # band Laplacian (global-y boundary corrected), x matmul
-        zc = lambda s0: ext[slot, pl.ds(s0, Bz), pl.ds(ry, By)]
-        center = zc(r)
-        lz = 2.0 * center - zc(r + 1) - zc(r - 1)
-        rows = lax.broadcasted_iota(jnp.int32, (Bz, 1, 1), 0) + i * Bz
-        first = lax.slice_in_dim(center, 0, 1, axis=0) \
-            - lax.slice_in_dim(center, 1, 2, axis=0)
-        last = 2.0 * lax.slice_in_dim(center, Bz - 1, Bz, axis=0) \
-            - lax.slice_in_dim(center, Bz - 2, Bz - 1, axis=0)
-        lz = jnp.where(rows == 0, first, lz)
-        lz = jnp.where(rows == Z - 1, last, lz)
-
-        ly = _minor_matmul(ext[slot, pl.ds(r, Bz)], wty, 1, 3, precision)
-        ycols = lax.broadcasted_iota(jnp.int32, (1, By, 1), 1) + jy * By
-        u0 = lax.slice_in_dim(center, 0, 1, axis=1)
-        u1 = lax.slice_in_dim(center, 1, 2, axis=1)
-        um1 = lax.slice_in_dim(center, By - 1, By, axis=1)
-        um2 = lax.slice_in_dim(center, By - 2, By - 1, axis=1)
-        ly = jnp.where(ycols == 0, (u0 - u1) * st.inv_h2_y, ly)
-        ly = jnp.where(ycols == Y - 1,
-                       (2.0 * um1 - um2) * st.inv_h2_y, ly)
-
-        lap = lz * st.inv_h2_z + ly \
-            + _lap_minor(center, tx, 2, st.banded_x, st.inv_h2_x,
-                         precision)
-        out_ref[:] = qa + rho * lap
+        slot = _load_ext_2d_pipelined([(v_hbm, ext, sem)], i, jy, nbz,
+                                      nby, Z, Y, Bz, By, r, ry)
+        get = lambda s0, n: ext[slot, pl.ds(s0, n)]
+        q, _ = _normal_center_2d(
+            get, st, rho_ref[0, 0], i, jy, Bz, By, r, ry,
+            (wny_ref[:], wty_ref[:], nx_ref[:], tx_ref[:]), precision)
+        out_ref[:] = q
 
     const = lambda shp: pl.BlockSpec(shp, lambda i, j: (0,) * len(shp),
                                      memory_space=pltpu.VMEM)
@@ -577,12 +595,13 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
     return apply
 
 
-def pick_zy_blocks(shape, halo, dtype=jnp.float32,
+def pick_zy_blocks(shape, halo, dtype=jnp.float32, n_ext=1,
                    budget_bytes=_LAYOUT_BUDGET_BYTES):
-    """(z_block, y_block) for the 2-D blocked apply, or (None, None).
+    """(z_block, y_block) for the 2-D blocked kernels, or (None, None).
     Only worthwhile for >= 512-wide y (below that the 1-D z-blocking has
-    less halo overhead); working set = 2 double-buffered 2-D slabs + 2
-    output windows + ~6 block temporaries."""
+    less halo overhead); working set = ``n_ext`` double-buffered 2-D
+    slabs (+ one materialized p' slab when ``n_ext > 1``) + 2 output
+    windows + ~6 block temporaries."""
     Z, Y, X = shape
     if Y < 512 or Y % 128:
         return None, None
@@ -592,11 +611,121 @@ def pick_zy_blocks(shape, halo, dtype=jnp.float32,
         if Z % Bz or Z // Bz < 2 or Bz < halo:
             continue
         By = 128
-        planes = 2 * (Bz + 2 * halo) * (By + 2 * ry) \
+        slabs = 2 * n_ext + (1 if n_ext > 1 else 0)
+        planes = slabs * (Bz + 2 * halo) * (By + 2 * ry) \
             + (2 * 2 + 6) * Bz * By
         if planes * row <= budget_bytes:
             return Bz, By
     return None, None
+
+
+def make_blocked_cg_step_2d(shape, cov, alpha_cut=3, spacing=None,
+                            z_block=None, y_block=None,
+                            dtype=jnp.float32,
+                            precision=lax.Precision.HIGHEST,
+                            interpret=False):
+    """2-D (z, y)-blocked fused CG hot step
+    ``step(r, p, beta, rho) -> (p_new, q, pq)`` — the 512-wide-plane
+    variant of :func:`make_blocked_cg_step`, which does NOT fit the
+    scoped-VMEM budget in its 1-D layout there. Same contract: one
+    streaming pass computes ``p' = r + β·p`` (materialized into one
+    extended scratch slab, streamed out via manual DMA overlapped with
+    the apply), ``q = (AᵀA + ρDᵀD) p'``, and the per-block partial
+    ``Σ p'·q``."""
+    st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
+    Z, Y, X = shape
+    r = st.halo
+    ry = -((-r) // 8) * 8
+    if z_block is None or y_block is None:
+        zb, yb = pick_zy_blocks(shape, r, dtype, n_ext=2)
+        z_block = z_block or zb
+        y_block = y_block or yb
+    if z_block is None:
+        raise ValueError(
+            "no 2-D block layout of shape %s fits the scoped-VMEM "
+            "budget for the blocked CG step" % (shape,))
+    Bz, By = int(z_block), int(y_block)
+    for n, B, h, name in ((Z, Bz, r, "z"), (Y, By, ry, "y")):
+        if n % B or n // B < 2 or B < h:
+            raise ValueError(
+                "%s axis %d must split into >=2 blocks of %d >= halo %d"
+                % (name, n, B, h))
+    nbz, nby = Z // Bz, Y // By
+
+    nfac = [np.convolve(f, f[::-1]) for f in st.factors]
+    lap_taps = np.array([-1.0, 2.0, -1.0]) * float(st.inv_h2_y)
+    Wny = jnp.asarray(_band_matrix(nfac[1], By, ry, st.np_dtype))
+    Wty = jnp.asarray(_band_matrix(lap_taps, By, ry, st.np_dtype))
+
+    def kernel(sc_ref, wny_ref, wty_ref, nx_ref, tx_ref, r_hbm, p_hbm,
+               pn_hbm, q_ref, pq_ref, ext_r, ext_p, pn_ext, sem_r,
+               sem_p, sem_out):
+        i = pl.program_id(0)
+        jy = pl.program_id(1)
+        beta = sc_ref[0, 0]
+        rho = sc_ref[0, 1]
+        slot = _load_ext_2d_pipelined(
+            [(r_hbm, ext_r, sem_r), (p_hbm, ext_p, sem_p)], i, jy, nbz,
+            nby, Z, Y, Bz, By, r, ry)
+        pn_ext[...] = ext_r[slot] + beta * ext_p[slot]
+        out_dma = pltpu.make_async_copy(
+            pn_ext.at[pl.ds(r, Bz), pl.ds(ry, By)],
+            pn_hbm.at[pl.ds(i * Bz, Bz),
+                      pl.ds(pl.multiple_of(jy * By, 8), By)], sem_out)
+        out_dma.start()  # overlaps the whole M-apply below
+        get = lambda s0, n: pn_ext[pl.ds(s0, n)]
+        q, pn_center = _normal_center_2d(
+            get, st, rho, i, jy, Bz, By, r, ry,
+            (wny_ref[:], wty_ref[:], nx_ref[:], tx_ref[:]), precision)
+        q_ref[:] = q
+        pq_ref[0, 0] = jnp.full((8, 128), jnp.sum(pn_center * q), dtype)
+        out_dma.wait()
+
+    const = lambda shp: pl.BlockSpec(shp, lambda i, j: (0,) * len(shp),
+                                     memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nbz, nby),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const(Wny.shape), const(Wty.shape),
+            const(st.Nx.shape), const(st.Tx.shape),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Bz, By, X), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, dtype),
+            jax.ShapeDtypeStruct(shape, dtype),
+            jax.ShapeDtypeStruct((nbz, nby, 8, 128), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), dtype),
+            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), dtype),
+            pltpu.VMEM((Bz + 2 * r, By + 2 * ry, X), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def step(r_arr, p_arr, beta, rho):
+        sc = jnp.stack([jnp.asarray(beta, dtype),
+                        jnp.asarray(rho, dtype)]).reshape(1, 2)
+        pn, q, pq = call(sc, Wny, Wty, st.Nx, st.Tx,
+                         jnp.asarray(r_arr, dtype),
+                         jnp.asarray(p_arr, dtype))
+        return pn, q, jnp.sum(pq[:, :, 0, 0])
+
+    return step
 
 
 def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
@@ -892,9 +1021,12 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
                         block=block)[0]:
             mode = "step"
         else:
-            # 512-wide planes: the fused-CG working sets exceed the
-            # scoped-VMEM budget — run plain XLA CG around the blocked
-            # apply (round-2's BASELINE-5 configuration)
+            # 512-wide planes: the 1-D step layout exceeds the scoped-
+            # VMEM budget. The 2-D step ("step2d") fits but measured a
+            # WASH vs plain XLA CG around the 2-D apply (4.8 it/s both,
+            # 2026-08-21 — the fused p-update/dot it absorbs was already
+            # hidden, same lesson as the 256³ sweep), so auto picks the
+            # simpler formulation; "step2d" stays available explicitly.
             mode = "apply"
     if mode == "sweep":
         cg_sweep = make_blocked_cg_sweep(
@@ -904,9 +1036,14 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
         cg_step = make_blocked_cg_step(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
             dtype=dtype, precision=precision, interpret=interpret)
+    elif mode == "step2d":
+        cg_step = make_blocked_cg_step_2d(
+            shape, cov, alpha_cut=alpha_cut, spacing=spacing,
+            dtype=dtype, precision=precision, interpret=interpret)
+        mode = "step"  # same solve loop as the 1-D step formulation
     elif mode != "apply":
-        raise ValueError("mode must be auto/sweep/step/apply, got %r"
-                         % (mode,))
+        raise ValueError("mode must be auto/sweep/step/step2d/apply, "
+                         "got %r" % (mode,))
     # the r0/apply operator: prefer the 2-D (z, y)-blocked kernel for
     # >= 512-wide y (lower halo amplification + window-width y
     # contraction: 4.8 vs 4.6 it/s at 512-cubed, same session)

@@ -934,3 +934,58 @@ def test_blocked_admm_solve_auto_2d_apply(rng):
                                interpret=True, mode="apply")
     np.testing.assert_allclose(np.asarray(solve(b, b, 0.01, 0.5)),
                                np.asarray(x_ref), atol=5e-5, rtol=1e-4)
+
+
+def test_blocked_cg_step_2d_matches_composition(rng):
+    """2-D blocked CG step == the unfused composition, and
+    blocked_admm_solve auto-selects it (mode 'step2d') on a
+    512-wide-y volume, matching the XLA path."""
+    from functools import partial
+
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops import matmul_ops as MM
+    from nsol_tpu.ops.conv import (separable_factors,
+                                   make_normal_blur_operator)
+    from nsol_tpu.ops.pallas.blocked import (blocked_admm_solve,
+                                             make_blocked_cg_step_2d)
+    from nsol_tpu.solvers.admm import admm_solve
+
+    shape = (16, 512, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    r = rng.rand(*shape).astype(np.float32)
+    p = rng.rand(*shape).astype(np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    step = make_blocked_cg_step_2d(shape, cov, z_block=8, y_block=128,
+                                   interpret=True)
+    for beta, rho in ((0.0, 0.5), (0.83, 1.9)):
+        pn_want = r + beta * p
+        q_want = np.asarray(jax.jit(
+            lambda u: nA(u) + rho * G.gradient_normal(u))(
+                jnp.asarray(pn_want)))
+        pn, q, pq = step(r, p, beta, rho)
+        np.testing.assert_allclose(np.asarray(pn), pn_want, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(q), q_want, atol=2e-5,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            float(pq), float(np.sum(pn_want * q_want)), rtol=1e-4)
+
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = ndi.convolve(x_true, kern, mode="wrap").astype(np.float32)
+    factors = separable_factors(
+        K.gaussian_kernel(cov, alpha_cut=3, dtype=np.float64))
+    A = MM.matmul_convolve_fn(factors, shape, np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+    bj = jnp.asarray(b)
+    br = jnp.zeros((3,) + shape, jnp.float32)
+    x_ref, _ = jax.jit(partial(
+        admm_solve, A, A, Bg, Bg_adj, iterations=2, iter_max=4,
+        minimizer="cg", normal_A=nA, normal_B=G.gradient_normal))(
+            bj, br, bj, jnp.float32(0.01), jnp.float32(0.5))
+    solve = blocked_admm_solve(shape, cov, iterations=2, iter_max=4,
+                               interpret=True, mode="step2d")
+    np.testing.assert_allclose(np.asarray(solve(b, b, 0.01, 0.5)),
+                               np.asarray(x_ref), atol=5e-5, rtol=1e-4)
