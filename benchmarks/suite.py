@@ -766,6 +766,13 @@ def main():
         if dev is not None and dev > 1e-5:
             failures.append("%s: fused-vs-XLA deviation %g > 1e-5"
                             % (cfg, dev))
+        # the round-3 sweep configs record RELATIVE fused-vs-XLA
+        # deviations under their own keys — gate those too
+        for key, tol in (("max_rel_dev", 1e-4), ("sum_dev_rel", 1e-4)):
+            rdev = out.get(key)
+            if rdev is not None and rdev > tol:
+                failures.append("%s: fused-vs-XLA %s %g > %g"
+                                % (cfg, key, rdev, tol))
         oh, o3 = out.get("objective_highest"), out.get("objective_high3")
         if oh is not None and o3 is not None \
                 and abs(o3 - oh) > 1e-3 * abs(oh):

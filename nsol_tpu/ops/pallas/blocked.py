@@ -103,6 +103,11 @@ class _Stencils(object):
         self.factors = factors  # float64 — matrix builders cast at the end
         self.z_taps = nfac[0].astype(np_dtype)
         self.halo = len(self.z_taps) // 2
+        # per-axis normal-band half-widths: with anisotropic diagonal
+        # covariance these differ — the 2-D kernels size the y halo from
+        # halo_y, NOT the z halo (silent wrap corruption otherwise)
+        self.halo_y = len(nfac[1]) // 2
+        self.halo_x = len(nfac[2]) // 2
 
         Z, Y, X = shape
         s = _spacing_array(spacing, 3)  # spatial (x, y, z) order
@@ -114,8 +119,12 @@ class _Stencils(object):
         import os
         from nsol_tpu.ops.pallas.fused import banded_window_matrix
         no_banded = bool(os.environ.get("NSOL_TPU_NO_BANDED"))
-        self.banded_y = not no_banded and Y >= 512 and Y % 128 == 0
-        self.banded_x = not no_banded and X >= 512 and X % 128 == 0
+        # the (384, 128) window truncates bands wider than 122 — fall
+        # back to the dense matmul for very wide blurs (sigma >~ 21)
+        self.banded_y = (not no_banded and Y >= 512 and Y % 128 == 0
+                         and self.halo_y <= 122)
+        self.banded_x = (not no_banded and X >= 512 and X % 128 == 0
+                         and self.halo_x <= 122)
         wb = lambda M: jnp.asarray(banded_window_matrix(M))
         Ny = circulant_matrix(nfac[1], Y, np_dtype)
         Nx = circulant_matrix(nfac[2], X, np_dtype)
@@ -387,6 +396,12 @@ def _band_matrix(taps, n_out, halo, dtype):
     circulant — the contraction is window-width (e.g. 140) instead of the
     axis length (512+)."""
     taps = np.asarray(taps, dtype)
+    if len(taps) // 2 > halo:
+        # negative ``off`` below would silently wrap taps into the
+        # wrong columns via numpy negative indexing — hard error instead
+        raise ValueError(
+            "band half-width %d exceeds the DMA'd halo %d"
+            % (len(taps) // 2, halo))
     off = halo - (len(taps) // 2)
     C = np.zeros((n_out, n_out + 2 * halo), dtype)
     for d, t in enumerate(taps):
@@ -536,8 +551,10 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
     Z, Y, X = shape
     r = st.halo
-    # sublane-dim DMA slices must be 8-aligned: pad the y halo up
-    ry = -((-r) // 8) * 8
+    # sublane-dim DMA slices must be 8-aligned: pad the y halo up.
+    # Sized from the Y-axis band (halo_y), NOT the z halo — anisotropic
+    # covariance (sigma_y != sigma_z) makes them differ.
+    ry = -((-max(st.halo_y, 1)) // 8) * 8
     Bz, By = int(z_block), int(y_block)
     for n, B, h, name in ((Z, Bz, r, "z"), (Y, By, ry, "y")):
         if n % B or n // B < 2 or B < h:
@@ -596,21 +613,25 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
 
 
 def pick_zy_blocks(shape, halo, dtype=jnp.float32, n_ext=1,
-                   budget_bytes=_LAYOUT_BUDGET_BYTES):
+                   budget_bytes=_LAYOUT_BUDGET_BYTES, halo_y=None):
     """(z_block, y_block) for the 2-D blocked kernels, or (None, None).
     Only worthwhile for >= 512-wide y (below that the 1-D z-blocking has
     less halo overhead); working set = ``n_ext`` double-buffered 2-D
     slabs (+ one materialized p' slab when ``n_ext > 1``) + 2 output
-    windows + ~6 block temporaries."""
+    windows + ~6 block temporaries. ``halo_y`` is the y-axis band
+    half-width when it differs from the z ``halo`` (anisotropic
+    covariance)."""
     Z, Y, X = shape
     if Y < 512 or Y % 128:
         return None, None
-    ry = -((-halo) // 8) * 8
+    ry = -((-max(halo_y if halo_y is not None else halo, 1)) // 8) * 8
     row = X * jnp.dtype(dtype).itemsize
     for Bz in (32, 16, 8):
         if Z % Bz or Z // Bz < 2 or Bz < halo:
             continue
         By = 128
+        if By < ry or Y // By < 2:
+            continue
         slabs = 2 * n_ext + (1 if n_ext > 1 else 0)
         planes = slabs * (Bz + 2 * halo) * (By + 2 * ry) \
             + (2 * 2 + 6) * Bz * By
@@ -635,9 +656,10 @@ def make_blocked_cg_step_2d(shape, cov, alpha_cut=3, spacing=None,
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
     Z, Y, X = shape
     r = st.halo
-    ry = -((-r) // 8) * 8
+    ry = -((-max(st.halo_y, 1)) // 8) * 8
     if z_block is None or y_block is None:
-        zb, yb = pick_zy_blocks(shape, r, dtype, n_ext=2)
+        zb, yb = pick_zy_blocks(shape, r, dtype, n_ext=2,
+                                halo_y=st.halo_y)
         z_block = z_block or zb
         y_block = y_block or yb
     if z_block is None:
@@ -1047,8 +1069,7 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
     # the r0/apply operator: prefer the 2-D (z, y)-blocked kernel for
     # >= 512-wide y (lower halo amplification + window-width y
     # contraction: 4.8 vs 4.6 it/s at 512-cubed, same session)
-    zb, yb = pick_zy_blocks(shape, _Stencils(shape, cov, alpha_cut,
-                                             spacing, dtype).halo, dtype)
+    zb, yb = pick_zy_blocks(shape, st.halo, dtype, halo_y=st.halo_y)
     if zb is not None and block is None:
         apply_M = make_blocked_normal_operator_2d(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, z_block=zb,

@@ -174,7 +174,15 @@ def banded_window_matrix(M, dtype=None):
     n = M.shape[0]
     if n < 384 or n % 128:
         raise ValueError("banded window form needs n >= 384, n % 128 == 0")
-    W = np.asarray(M[128:256, 0:384]).T.copy()
+    Mrows = np.asarray(M)[128:256]
+    if n > 384 and np.any(Mrows[:, 384:]):
+        # band (incl. circulant wrap) extends past the 3-block window —
+        # extracting would silently truncate it; callers fall back to
+        # the dense matmul
+        raise ValueError(
+            "band half-width exceeds the 3-block (384-col) window; "
+            "use the dense matmul for this matrix")
+    W = Mrows[:, 0:384].T.copy()
     return W.astype(dtype or M.dtype)
 
 

@@ -571,10 +571,16 @@ class PrimalDualSolver(Solver):
         key = ("pd", rtype, self._alg_type, self._iterations, record,
                interp, len(aj))
         if key not in self._solve_cache:
-            solve = _fused.make_fused_pd_denoise_solver(
-                shape, rtype, alg_type=self._alg_type,
-                iterations=self._iterations, record=record,
-                interpret=interp)
+            try:
+                solve = _fused.make_fused_pd_denoise_solver(
+                    shape, rtype, alg_type=self._alg_type,
+                    iterations=self._iterations, record=record,
+                    interpret=interp)
+            except ValueError:
+                # builder rejected the configuration (shape/layout
+                # constraints) — fall back to the XLA path, mirroring
+                # the ADMM/Tikhonov fast paths
+                return None
 
             def fn(aj, b, x0, L2, g_rec):
                 def one(alpha):

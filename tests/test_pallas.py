@@ -897,6 +897,59 @@ def test_blocked_normal_operator_2d_matches_xla(rng):
                                    err_msg=str((shape, spacing)))
 
 
+def test_blocked_normal_operator_2d_anisotropic_y(rng):
+    """Anisotropic covariance with sigma_y > sigma_z: the y halo must be
+    sized from the Y-axis band (halo_y), not the z halo — the round-3
+    form silently wrapped taps into the wrong columns (ADVICE r3 high)."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops.conv import make_normal_blur_operator
+    from nsol_tpu.ops.pallas.blocked import (_Stencils, _band_matrix,
+                                             make_blocked_normal_operator_2d)
+
+    shape = (16, 32, 16)
+    cov = np.diag([0.64, 4.0, 0.64])
+    st = _Stencils(shape, cov, 3, None, jnp.float32)
+    assert st.halo_y > st.halo  # the configuration the bug needs
+    v = rng.rand(*shape).astype(np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    want = np.asarray(jax.jit(
+        lambda u: nA(u) + 0.7 * G.gradient_normal(u))(jnp.asarray(v)))
+    ap = make_blocked_normal_operator_2d(shape, cov, z_block=8,
+                                         y_block=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(ap(v, 0.7)), want,
+                               atol=2e-5, rtol=1e-5)
+
+    # the underlying guard: a band wider than the halo is a hard error,
+    # not silent wraparound
+    with np.testing.assert_raises(ValueError):
+        _band_matrix(np.ones(11), 16, 4, np.float32)
+
+
+def test_banded_window_matrix_rejects_wide_band():
+    """A band whose half-width exceeds the 3-block window must raise
+    (silent truncation otherwise), and _Stencils falls back to the dense
+    matmul for such blurs instead of enabling the banded form."""
+    from nsol_tpu.ops.matmul_ops import circulant_matrix
+    from nsol_tpu.ops.pallas.blocked import _Stencils
+    from nsol_tpu.ops.pallas.fused import banded_window_matrix
+
+    taps = np.ones(2 * 130 + 1)  # half-width 130 > 122
+    M = circulant_matrix(taps, 512, np.float32)
+    with np.testing.assert_raises(ValueError):
+        banded_window_matrix(M)
+    # in-range band still works
+    ok = circulant_matrix(np.ones(13), 512, np.float32)
+    W = banded_window_matrix(ok)
+    assert W.shape == (384, 128)
+
+    # a sigma-26 blur on a 512 axis (half-width > 122) must not enable
+    # the banded schedule
+    st = _Stencils((16, 512, 16), np.diag([1.0, 676.0, 1.0]), 3, None,
+                   jnp.float32)
+    assert st.halo_y > 122 and not st.banded_y
+
+
 def test_blocked_admm_solve_auto_2d_apply(rng):
     """blocked_admm_solve(mode='apply') on a >=512-wide-y volume
     auto-selects the 2-D (z, y)-blocked operator and still matches the
