@@ -54,6 +54,7 @@ from nsol_tpu.ops.grad import _spacing_array
 from nsol_tpu.ops.pallas.fused import _minor_matmul, _banded_window_matmul
 
 __all__ = ["make_blocked_normal_operator",
+           "make_blocked_normal_operator_prepadded",
            "make_blocked_normal_operator_2d", "make_blocked_cg_step",
            "make_blocked_cg_step_2d", "make_blocked_cg_sweep",
            "blocked_admm_solve", "pick_z_block", "pick_zy_blocks"]
@@ -185,7 +186,20 @@ def _ext_dma(v_hbm, ext_slot, sem_slot, j, nblk, Z, block, r, wait):
                 ext_slot, sem_slot))
 
 
-def _load_ext_pipelined(inputs, i, nblk, Z, block, r, n_buf=2):
+def _ext_dma_pre(v_hbm, ext_slot, sem_slot, j, nblk, Z, block, r, wait):
+    """Halo slab DMA for a PREPADDED input: ``v_hbm`` already carries the
+    ``r``-plane halos on both ends (supplied by the caller — e.g. a
+    ``ppermute`` ring exchange under ``shard_map``), so block ``j``'s
+    extended slab is ONE contiguous copy ``[j·B, j·B + B + 2r)`` with no
+    wrap cases. Signature matches :func:`_ext_dma` for
+    :func:`_load_ext_pipelined`."""
+    c = pltpu.make_async_copy(v_hbm.at[pl.ds(j * block, block + 2 * r)],
+                              ext_slot, sem_slot)
+    c.wait() if wait else c.start()
+
+
+def _load_ext_pipelined(inputs, i, nblk, Z, block, r, n_buf=2,
+                        dma=None):
     """Halo loads for grid step ``i``. With ``n_buf=2`` (double-buffered):
     wait for block ``i``'s slabs (started in the previous grid step, or
     right here when ``i == 0``) and prefetch block ``i+1``'s into the
@@ -193,15 +207,18 @@ def _load_ext_pipelined(inputs, i, nblk, Z, block, r, n_buf=2):
     512³-class layouts): start and complete block ``i``'s copies inline —
     no prefetch overlap, half the slab residency. ``inputs = [(v_hbm, ext,
     sem), ...]`` with ``ext`` shaped ``(n_buf, block+2r, Y, X)`` and
-    ``sem`` an ``n_buf``-element DMA semaphore array. Returns the slot
-    index holding block ``i``."""
+    ``sem`` an ``n_buf``-element DMA semaphore array. ``dma`` selects the
+    per-block copy routine (:func:`_ext_dma` wrap-halo default, or
+    :func:`_ext_dma_pre` for prepadded inputs). Returns the slot index
+    holding block ``i``."""
+    dma = dma if dma is not None else _ext_dma
     if n_buf == 1:
         for v_hbm, ext, sem in inputs:
-            _ext_dma(v_hbm, ext.at[0], sem.at[0], i, nblk, Z, block, r,
-                     wait=False)
+            dma(v_hbm, ext.at[0], sem.at[0], i, nblk, Z, block, r,
+                wait=False)
         for v_hbm, ext, sem in inputs:
-            _ext_dma(v_hbm, ext.at[0], sem.at[0], i, nblk, Z, block, r,
-                     wait=True)
+            dma(v_hbm, ext.at[0], sem.at[0], i, nblk, Z, block, r,
+                wait=True)
         return jnp.asarray(0, i.dtype)
 
     nb = jnp.asarray(n_buf, i.dtype)
@@ -211,22 +228,22 @@ def _load_ext_pipelined(inputs, i, nblk, Z, block, r, n_buf=2):
     def _():  # warm-up: start the first n_buf − 1 blocks
         for k in range(min(n_buf - 1, nblk)):
             for v_hbm, ext, sem in inputs:
-                _ext_dma(v_hbm, ext.at[k % n_buf], sem.at[k % n_buf],
-                         jnp.asarray(k, i.dtype), nblk, Z, block, r,
-                         wait=False)
+                dma(v_hbm, ext.at[k % n_buf], sem.at[k % n_buf],
+                    jnp.asarray(k, i.dtype), nblk, Z, block, r,
+                    wait=False)
 
     ahead = i + (n_buf - 1)
 
     @pl.when(ahead < nblk)
     def _():  # keep the pipeline n_buf − 1 blocks deep
         for v_hbm, ext, sem in inputs:
-            _ext_dma(v_hbm, ext.at[lax.rem(ahead, nb)],
-                     sem.at[lax.rem(ahead, nb)], ahead, nblk, Z, block,
-                     r, wait=False)
+            dma(v_hbm, ext.at[lax.rem(ahead, nb)],
+                sem.at[lax.rem(ahead, nb)], ahead, nblk, Z, block,
+                r, wait=False)
 
     for v_hbm, ext, sem in inputs:
-        _ext_dma(v_hbm, ext.at[slot], sem.at[slot], i, nblk, Z, block, r,
-                 wait=True)
+        dma(v_hbm, ext.at[slot], sem.at[slot], i, nblk, Z, block, r,
+            wait=True)
     return slot
 
 
@@ -286,15 +303,20 @@ def _lap_minor(u, mat, axis, banded, inv_h2, precision):
     return y
 
 
-def _normal_center(get, st, rho, i, block, refs, precision):
+def _normal_center(get, st, rho, i, block, refs, precision, row0=None,
+                   z_total=None):
     """``(AᵀA + ρ·DᵀD)`` of a halo-extended slab, evaluated on its
     ``block`` center rows. ``get(start, size)`` returns slab rows
     ``[start, start+size)`` — callers pass views of ONE materialized
     scratch slab (the lazy multi-slab accessor register-spilled at 512³).
     ``refs = (ny, nx, ty, tx)`` loaded matrices (dense or windowed-band
-    per ``st.banded_y``/``st.banded_x``)."""
+    per ``st.banded_y``/``st.banded_x``). Under spatial sharding the
+    slab is a window of a LARGER z axis: ``row0`` (traced scalar) is the
+    global row of local row 0 and ``z_total`` the global z extent, so
+    the Laplacian's global-boundary corrections land on the right
+    shard."""
     ny, nx, ty, tx = refs
-    Z = st.shape[0]
+    Z = st.shape[0] if z_total is None else z_total
     r = st.halo
 
     # blur normal: z taps first (consume the halo), then the MXU
@@ -313,7 +335,8 @@ def _normal_center(get, st, rho, i, block, refs, precision):
     up = get(r + 1, block)
     down = get(r - 1, block)
     lz = 2.0 * center - up - down
-    rows = lax.broadcasted_iota(jnp.int32, (block, 1, 1), 0) + i * block
+    off = i * block if row0 is None else i * block + row0
+    rows = lax.broadcasted_iota(jnp.int32, (block, 1, 1), 0) + off
     first = lax.slice_in_dim(center, 0, 1, axis=0) \
         - lax.slice_in_dim(center, 1, 2, axis=0)
     last = 2.0 * lax.slice_in_dim(center, block - 1, block, axis=0) \
@@ -385,6 +408,108 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
         rr = jnp.full((1, 1), rho, dtype)
         return call(rr, st.Ny, st.Nx, st.Ty, st.Tx, jnp.asarray(v, dtype))
 
+    return apply
+
+
+def make_blocked_normal_operator_prepadded(local_shape, cov, alpha_cut=3,
+                                           spacing=None, z_total=None,
+                                           block=None, dtype=jnp.float32,
+                                           precision=lax.Precision.HIGHEST,
+                                           interpret=False, vma=None):
+    """Blocked ``apply(v_ext, rho, row0) -> AᵀA v + rho·DᵀD v`` over a
+    PREPADDED z-window of a (possibly larger) global volume — the
+    per-shard kernel of the sharded scale path (VERDICT r3 item 1).
+
+    ``v_ext`` is the local ``(Zl + 2·halo, Y, X)`` block with its z wrap
+    halos already attached (under ``shard_map``:
+    :func:`nsol_tpu.parallel.halo.exchange_halo_wrap` supplies them via
+    ``ppermute`` ring exchange, matching the reference's ``mode="wrap"``
+    blur boundary globally — /root/reference/nsol/linear_operators.py:61).
+    ``row0`` is the traced global row index of local row 0
+    (``axis_index * Zl``) and ``z_total`` the static global z extent:
+    the Laplacian's zero-boundary corrections
+    (/root/reference/nsol/linear_operators.py:98-106 semantics via
+    ops/grad.py) apply only on the shards holding global rows ``0`` /
+    ``z_total−1``. The slab DMA is one contiguous copy per block (no
+    wrap cases) — otherwise identical streaming/double-buffering to
+    :func:`make_blocked_normal_operator`. Returned ``apply`` carries
+    ``.halo`` and ``.block`` attributes for the caller's exchange."""
+    st = _Stencils(local_shape, cov, alpha_cut, spacing, dtype)
+    Zl, Y, X = local_shape
+    z_total = int(z_total) if z_total is not None else Zl
+    r = st.halo
+    plane = Y * X * jnp.dtype(dtype).itemsize
+    if block is None:
+        block, n_buf = _pick_layout(local_shape, r, dtype, n_ext=1,
+                                    n_io=1)
+        if block is None:
+            # tiny local shards (CPU-mesh tests, many-way shardings of
+            # modest volumes): a single block trivially fits
+            if (2 * (Zl + 2 * r) + 8 * Zl) * plane \
+                    <= _LAYOUT_BUDGET_BYTES:
+                block, n_buf = Zl, 1
+            else:
+                raise ValueError(
+                    "no z-block layout of local shape %s fits the "
+                    "scoped-VMEM budget" % (local_shape,))
+    else:
+        block = int(block)
+        n_buf = 2
+    if Zl % block:
+        raise ValueError("local z extent %d not divisible by block %d"
+                         % (Zl, block))
+    nblk = Zl // block
+
+    def kernel(rho_ref, row0_ref, ny_ref, nx_ref, ty_ref, tx_ref,
+               vext_hbm, out_ref, ext, sem):
+        i = pl.program_id(0)
+        slot = _load_ext_pipelined([(vext_hbm, ext, sem)], i, nblk, Zl,
+                                   block, r, n_buf=n_buf,
+                                   dma=_ext_dma_pre)
+        get = lambda s0, n: ext[slot, pl.ds(s0, n)]
+        q, _ = _normal_center(
+            get, st, rho_ref[0, 0], i, block,
+            (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision,
+            row0=row0_ref[0, 0], z_total=z_total)
+        out_ref[:] = q
+
+    const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                     memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const(st.Ny.shape), const(st.Nx.shape),
+            const(st.Ty.shape), const(st.Tx.shape),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block, Y, X), lambda i: (i, 0, 0)),
+        # inside shard_map the output varies over the sharded mesh axes;
+        # check_vma=True requires declaring that on the out_shape
+        out_shape=jax.ShapeDtypeStruct(
+            local_shape, dtype,
+            vma=frozenset(vma) if vma is not None else None),
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, block + 2 * r, Y, X), dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def apply(v_ext, rho, row0):
+        rr = jnp.full((1, 1), rho, dtype)
+        r0 = jnp.full((1, 1), row0, jnp.int32)
+        return call(rr, r0, st.Ny, st.Nx, st.Ty, st.Tx,
+                    jnp.asarray(v_ext, dtype))
+
+    apply.halo = r
+    apply.block = block
     return apply
 
 

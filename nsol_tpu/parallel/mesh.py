@@ -79,7 +79,8 @@ def _global_rows(arr, mesh, process_local):
 def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
                           iterations=10, iter_max=10, alpha_cut=3,
                           data_loss="linear", data_loss_scale=1.0,
-                          minimizer=None, process_local=False):
+                          minimizer=None, process_local=False,
+                          use_blocked=None, blocked_precision=None):
     """TV-L2/robust deconvolution of a volume sharded along array axis 0.
 
     The full ADMM loop (outer splitting + inner Krylov solve) runs inside one
@@ -102,6 +103,17 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
     problem falls back to the shard-aware box L-BFGS (psum-reduced global
     cost and curvature inner products — every rank takes identical steps).
 
+    ``use_blocked`` composes the sharding with the streaming blocked
+    Pallas kernel (:mod:`nsol_tpu.parallel.blocked_halo`): each shard's
+    ``AᵀA + ρDᵀD`` apply runs the SAME double-buffered z-blocked Mosaic
+    program as the single-chip scale path, with shard-edge wrap halos
+    via ``ppermute`` — so a multi-chip config-5 run gets the 46 it/s-
+    grade per-chip operator instead of the XLA matmul fallback.
+    ``None`` (default) auto-enables it on TPU for separable linear
+    problems whose per-shard block is past the fused-VMEM class
+    (≥ 16 MiB); ``True``/``False`` force. ``blocked_precision`` passes
+    the kernel's MXU precision (e.g. ``"high3"``).
+
     ``b``/``x0`` are (z, y, x) arrays: the full volume with the default
     ``process_local=False`` (single-process convenience), or — on a
     multi-host slice — each process's OWN rows with ``process_local=True``
@@ -112,6 +124,8 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
     """
     n_shards = mesh.shape["space"]
     axis_name = "space"
+    if minimizer == "auto":  # same semantics as the CLI/interface flag
+        minimizer = None
     n_rows = _global_rows(b, mesh, process_local)
     if n_rows % n_shards:
         raise ValueError("leading axis %d not divisible by %d shards"
@@ -135,7 +149,8 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
     else:
         separable = False
 
-    normal_A = normal_B = None
+    normal_A = normal_B = normal_M = None
+    check_vma = True
     if minimizer is None or minimizer == "cg":
         if minimizer == "cg" and (data_loss != "linear" or not separable):
             raise ValueError("minimizer='cg' requires a linear data loss "
@@ -168,6 +183,40 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
         normal_B = matmul_halo.make_sharded_matmul_gradient_normal(
             local_shape, spacing=spacing, axis_name=axis_name,
             n_shards=n_shards, dtype=b.dtype)
+        if minimizer == "cg" and b.ndim == 3 and use_blocked is not False:
+            import os
+
+            from nsol_tpu.parallel import blocked_halo
+            on_cpu = jax.default_backend() == "cpu"
+            # auto-enable only on real multi-host slices: correctness is
+            # pinned everywhere (tests/test_sharding.py), but the
+            # single-chip axon tunnel pays a ~10-30 ms per-pallas-call
+            # dispatch overhead inside manually-partitioned modules
+            # (measured 2026-08-21 — a trivial BlockSpec kernel runs
+            # 1.1 ms under plain jit vs ~13 ms under shard_map,
+            # size-independent; benchmarks/shard_pallas_diag2.py), so a
+            # 1-process mesh keeps the XLA matmul operators by default.
+            # Explicit use_blocked=True opts in for real hardware.
+            auto = (not on_cpu and jax.process_count() > 1
+                    and int(np.prod(local_shape)) * b.dtype.itemsize
+                    >= 16 * 1024 * 1024)
+            if use_blocked or auto \
+                    or os.environ.get("NSOL_TPU_FORCE_BLOCKED"):
+                try:
+                    normal_M = blocked_halo \
+                        .make_sharded_blocked_normal_operator(
+                            local_shape, cov, alpha_cut=alpha_cut,
+                            spacing=spacing, axis_name=axis_name,
+                            n_shards=n_shards, dtype=b.dtype,
+                            precision=blocked_precision,
+                            interpret=on_cpu)
+                    if on_cpu:
+                        # interpret-mode kernels trip the per-op vma
+                        # checker (see blocked_halo); Mosaic lowering
+                        # on TPU keeps the checker on
+                        check_vma = False
+                except ValueError:
+                    normal_M = None  # layout/blur outside kernel scope
     else:
         A, A_adj = halo.make_sharded_blur_operators(
             cov, alpha_cut=alpha_cut, spacing=spacing, axis_name=axis_name,
@@ -180,13 +229,14 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
             A, A_adj, Bg, Bg_adj, b_loc, 0.0, x0_loc, alpha_v, rho_v,
             iterations=iterations, iter_max=iter_max, data_loss=data_loss,
             data_loss_scale=data_loss_scale, minimizer=minimizer,
-            axis_name=axis_name, normal_A=normal_A, normal_B=normal_B)
+            axis_name=axis_name, normal_A=normal_A, normal_B=normal_B,
+            normal_M=normal_M)
         return x
 
     mapped = jax.shard_map(
         local_solve, mesh=mesh,
         in_specs=(P("space"), P("space"), P(), P()),
-        out_specs=P("space"))
+        out_specs=P("space"), check_vma=check_vma)
 
     b_d = _shard_input(b, mesh, process_local)
     x0_d = _shard_input(x0, mesh, process_local)

@@ -342,3 +342,52 @@ def test_sharded_admm_process_local_matches_global_input(mesh, rng):
     np.testing.assert_array_equal(np.asarray(x_pl), x_global)
     np.testing.assert_array_equal(dist.process_local_data(x_pl),
                                   x_global[start:stop])
+
+
+def test_sharded_blocked_normal_operator_matches_local(mesh, rng):
+    """The sharded streaming-blocked apply (per-shard Pallas kernel over
+    ppermute'd wrap halos, runtime global-boundary Laplacian rows) must
+    equal the single-device XLA normal operators — VERDICT r3 item 1's
+    parity gate."""
+    from nsol_tpu.parallel.blocked_halo import \
+        make_sharded_blocked_normal_operator
+
+    shape = (4 * N_DEV, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    v = rng.rand(*shape).astype(np.float32)
+    nA = C.make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                     dtype=np.float32)
+    want = np.asarray(jax.jit(
+        lambda u: nA(u) + 0.7 * G.gradient_normal(u))(jnp.asarray(v)))
+
+    local_shape = (shape[0] // N_DEV,) + shape[1:]
+    ap = make_sharded_blocked_normal_operator(
+        local_shape, cov, axis_name="space", n_shards=N_DEV,
+        dtype=jnp.float32, interpret=True)
+    # the blur halo (6) exceeds the local extent (4): multi-hop exchange
+    assert ap.halo > local_shape[0]
+    mapped = jax.jit(jax.shard_map(
+        lambda u: ap(u, jnp.float32(0.7)), mesh=mesh,
+        in_specs=(P("space"),), out_specs=P("space"), check_vma=False))
+    got = np.asarray(mapped(jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_admm_blocked_matches_matmul_path(mesh, rng):
+    """sharded_tv_admm_solve(use_blocked=True) — the composition of
+    spatial sharding with the streaming blocked Pallas kernels — must
+    converge to the same solution as the sharded XLA matmul path."""
+    import scipy.ndimage as ndi
+
+    shape = (4 * N_DEV, 12, 10)
+    cov = np.diag([0.8, 0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    b = ndi.convolve(rng.rand(*shape), kern, mode="wrap").astype(np.float32)
+
+    x_ref = np.asarray(sharded_tv_admm_solve(
+        mesh, cov, b, np.array(b), alpha=0.01, rho=0.5,
+        iterations=4, iter_max=4, use_blocked=False))
+    x_blk = np.asarray(sharded_tv_admm_solve(
+        mesh, cov, b, np.array(b), alpha=0.01, rho=0.5,
+        iterations=4, iter_max=4, use_blocked=True))
+    np.testing.assert_allclose(x_blk, x_ref, atol=2e-6, rtol=1e-5)
