@@ -169,7 +169,10 @@ class InputArgparser(object):
 
     def add_minimizer(self, default="lsmr"):
         self._add("--minimizer", type=str, default=default,
-                  help="Engine for the inner quadratic problem: 'lsmr' "
+                  help="Engine for the inner quadratic problem: 'auto' "
+                       "(picks the fastest valid engine: cg for "
+                       "linear+separable, irls for robust+separable, "
+                       "else lsmr/L-BFGS-B), 'lsmr' "
                        "(CGLS on TPU), 'cg' (CG on fused normal equations "
                        "— fastest for linear loss), 'irls' (reweighted CG "
                        "— fastest for robust losses), 'lsq_linear', "

