@@ -231,6 +231,115 @@ def config2_lena_robust_deconv_fused():
             "objective": round(objective, 2)}
 
 
+def _batched_ab(tag, make_xla_one, make_fused_one, b, alphas, iters,
+                dev_key="max_dev_vs_xla"):
+    """VERDICT r3 item 4 protocol: the sub-10-ms configs are below the
+    per-dispatch noise floor (jitter ~ solve time), so their A/B ordering
+    flipped between runs. Stable form: ONE vmapped batch of 16 solves
+    per dispatch, chained across calls (each round's outputs feed the
+    next round's x0 batch so nothing memoizes); per-solve time =
+    batch time / 16. Both paths and their ratio in one JSON record,
+    parity gated via max_dev_vs_xla."""
+    NB = len(alphas)
+    X0 = jnp.broadcast_to(b, (NB,) + b.shape)
+    out = {"config": tag, "batch": NB}
+    first = {}
+    for path, make_one in (("xla", make_xla_one), ("fused",
+                                                   make_fused_one)):
+        one = make_one()
+        f = jit_closed(lambda X: jax.vmap(one)(alphas, X), (X0,))
+        first[path] = np.asarray(f(X0))
+        n = 6
+        t0 = time.perf_counter()
+        X = X0
+        for _ in range(n):
+            X = f(X)
+        np.asarray(X[0, 0, 0])
+        per = (time.perf_counter() - t0) / n / NB
+        out["ms_per_solve_" + path] = round(per * 1e3, 3)
+        out["iters_per_sec_" + path] = round(iters / per, 1)
+    out[dev_key] = round(
+        float(np.max(np.abs(first["fused"] - first["xla"]))), 8)
+    out["fused_over_xla"] = round(
+        out["iters_per_sec_fused"] / out["iters_per_sec_xla"], 3)
+    return out
+
+
+def config1_batched_ab():
+    """Config 1 (Lena 256² TVL2 PD, 50 it) under the batched protocol."""
+    noisy = _read("2D_Lena_256_noise.png")
+    b = jnp.asarray(noisy / float(noisy.max()))
+    alphas = jnp.linspace(0.4, 0.8, 16, dtype=DTYPE)
+    grad_op, grad_adj = G.make_gradient_operators()
+    L2 = jnp.asarray(8.0, DTYPE)
+
+    def make_xla_one():
+        def one(alpha, x0):
+            def prox_f(x, tau):
+                return prox_ops.prox_ell2_denoising(x, tau, b)
+
+            x, _ = _pd.primal_dual_solve(
+                prox_f, prox_ops.prox_tv_conj, grad_op, grad_adj,
+                x0, alpha, L2, iterations=50)
+            return x
+
+        return one
+
+    def make_fused_one():
+        from nsol_tpu.ops.pallas.fused import make_fused_pd_denoise_solver
+
+        fused = make_fused_pd_denoise_solver(noisy.shape, "TVL2",
+                                             alg_type="ALG2",
+                                             iterations=50)
+        return lambda alpha, x0: fused(b, x0, alpha, L2)
+
+    return _batched_ab("lena256_tvl2_pd_50it_batched16", make_xla_one,
+                       make_fused_one, b, alphas, 50)
+
+
+def config2_batched_ab():
+    """Config 2 (Lena 256² huber ADMM, IRLS inner, 10 outer it) under
+    the batched protocol."""
+    blurred = _read("2D_Lena_256_blur_noise.png")
+    b = jnp.asarray(blurred / float(blurred.max()))
+    alphas = jnp.linspace(0.005, 0.02, 16, dtype=DTYPE)
+    cov = np.diag([1.0, 1.0])
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3,
+                                     shape=blurred.shape, method="auto",
+                                     dtype=DTYPE)
+    nA = C.make_normal_blur_operator(cov, alpha_cut=3,
+                                     shape=blurred.shape, dtype=DTYPE)
+    Bg, Bg_adj = G.make_gradient_operators()
+    br = jnp.zeros((2,) + blurred.shape, DTYPE)
+    rho = jnp.asarray(0.5, DTYPE)
+
+    def make_xla_one():
+        def one(alpha, x0):
+            x, _ = _admm.admm_solve(
+                A, A_adj, Bg, Bg_adj, b, br, x0, alpha, rho,
+                iterations=10, iter_max=3, data_loss="huber",
+                data_loss_scale=1.0, minimizer="irls", irls_cg_iters=6,
+                normal_A=nA, normal_B=G.gradient_normal)
+            return x
+
+        return one
+
+    def make_fused_one():
+        from nsol_tpu.ops.pallas.fused import make_fused_admm_solver
+
+        fused = make_fused_admm_solver(blurred.shape, cov, iterations=10,
+                                       iter_max=3, data_loss="huber",
+                                       irls_cg_iters=6)
+        return lambda alpha, x0: fused(
+            b, x0, alpha, rho, data_loss_scale=jnp.asarray(1.0, DTYPE))
+
+    # robust-IRLS trajectories may diverge slightly more than the PD
+    # pair (reweighting feedback) — gated under its own looser key
+    return _batched_ab("lena256_huber_admm_irls_10it_batched16",
+                       make_xla_one, make_fused_one, b, alphas, 10,
+                       dev_key="max_dev_vs_xla_robust")
+
+
 def config4_man1024_alpha_sweep():
     """64-alpha vmapped L-curve sweep over Man 1024 TV-L2 denoising."""
     man = _read("2D_Man_1024.png")
@@ -727,6 +836,8 @@ def main():
                    config2_lena_robust_deconv_fused,
                    config3_sweep_shepp64_alpha_rho,
                    config_tk1_sweep_lena_alpha,
+                   config1_batched_ab,
+                   config2_batched_ab,
                    config4_man1024_alpha_sweep,
                    config4_man1024_alpha_sweep_fused,
                    config_scale_256cubed,
@@ -768,7 +879,8 @@ def main():
                             % (cfg, dev))
         # the round-3 sweep configs record RELATIVE fused-vs-XLA
         # deviations under their own keys — gate those too
-        for key, tol in (("max_rel_dev", 1e-4), ("sum_dev_rel", 1e-4)):
+        for key, tol in (("max_rel_dev", 1e-4), ("sum_dev_rel", 1e-4),
+                         ("max_dev_vs_xla_robust", 1e-3)):
             rdev = out.get(key)
             if rdev is not None and rdev > tol:
                 failures.append("%s: fused-vs-XLA %s %g > %g"

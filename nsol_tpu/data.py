@@ -27,7 +27,8 @@ import os
 
 import numpy as np
 
-__all__ = ["data_dir", "path", "generate_standalone_data"]
+__all__ = ["data_dir", "path", "generate_standalone_data",
+           "verify_standalone_data"]
 
 _REFERENCE_DATA = "/root/reference/data"
 _FILES = (
@@ -41,6 +42,66 @@ _FILES = (
     "2D_Man_1024.png",
     "3D_SheppLoganPhantom_64.nii.gz",
 )
+
+#: Frozen CONTENT hashes of the generated stand-ins (sha256 of the
+#: decoded uint8 pixel array for PNGs / the float32 data array for the
+#: nii.gz — file bytes can vary across PIL/gzip versions, decoded
+#: content must not). Generation verifies against these so the
+#: standalone benchmark inputs are byte-stable across checkouts and
+#: library upgrades (VERDICT r3 item 7); a mismatch means the generator
+#: pipeline (numpy RandomState / scipy.ndimage) drifted and the
+#: recorded standalone objectives no longer anchor.
+_CONTENT_SHA256 = {
+    "2D_BrainWeb.png":
+        "9c0c61a7ac7b1958e5c01216adfac08451875ab9727536ab1852a555bfb2cc66",
+    "2D_Cameraman_256.png":
+        "45613fe71675ed489f022edbf07eb15f4a00b1e4f06bb7f5befc05154a81f504",
+    "2D_House_256.png":
+        "efb061c7b4844c42299ac884d143837531feb075aa491433a38c5bdfa5e3d6ab",
+    "2D_Lena_256.png":
+        "9224663a0b245b6b43e1be2bf4221f48594a787d954fc7591bca9837ca3b6db6",
+    "2D_Lena_256_blur_noise.png":
+        "319569d40862883d4fb0742c48a68a498f37c4a3f59ca5dc37ece9576f497a3e",
+    "2D_Lena_256_noise.png":
+        "a372bab42cb82ebda373c878e52fb1f0fd2ef561790f99bc9b28702cafe2bd9c",
+    "2D_Lena_512.png":
+        "fd96f2f3742899a8e5d2e138d9f4d858f72674ce8da7e2c18ea4baf362cfbbbb",
+    "2D_Man_1024.png":
+        "69fdf13253d6309b97ef7d4be93fc6c67038844df478a3fbe35cecce923b6a69",
+    "3D_SheppLoganPhantom_64.nii.gz":
+        "4ad12df223864d4f4f9f248721b492b77db6d731ba640edb7455368916725696",
+}
+
+
+def _content_hash(file_path):
+    import hashlib
+
+    if file_path.endswith(".png"):
+        from PIL import Image
+
+        arr = np.asarray(Image.open(file_path).convert("L"),
+                         dtype=np.uint8)
+        return hashlib.sha256(arr.tobytes()).hexdigest()
+    from nsol_tpu.io.nifti import read_nifti
+
+    arr = np.ascontiguousarray(
+        np.asarray(read_nifti(file_path).data, np.float32))
+    return hashlib.sha256(arr.tobytes()).hexdigest()
+
+
+def verify_standalone_data(directory):
+    """Check every generated stand-in against its frozen content hash;
+    raises RuntimeError on drift."""
+    for name, want in _CONTENT_SHA256.items():
+        got = _content_hash(os.path.join(directory, name))
+        if got != want:
+            raise RuntimeError(
+                "Generated stand-in '%s' does not match its frozen "
+                "content hash (%s != %s): the generator pipeline "
+                "(numpy/scipy/PIL) drifted, so recorded standalone "
+                "objectives no longer anchor. Regenerate and re-record "
+                "the hashes + objectives deliberately." % (name, got,
+                                                           want))
 
 
 def data_dir():
@@ -175,4 +236,5 @@ def generate_standalone_data(directory):
     if name in missing:
         write_nifti(shepp_logan_3d(64), os.path.join(directory, name),
                     spacing=np.ones(3))
+    verify_standalone_data(directory)
     return directory

@@ -145,6 +145,27 @@ class SolverParameterStudy(ParameterStudy):
             incompatible("setting '%s' is %s on disk but %s in the "
                          "current solver" % (key, prev, value))
 
+    @staticmethod
+    def _stored_combo(stored_rows, vals):
+        """True when a parameter combination already has a stored row.
+        Stored values are the writer's strings; numeric values match to
+        the study engine's 1e-6 tolerance, everything else literally."""
+        for stored in stored_rows:
+            if len(stored) != len(vals):
+                continue
+            ok = True
+            for s, v in zip(stored, vals):
+                if _is_float(s) and _is_float(v):
+                    if abs(float(s) - float(v)) >= 1.5e-6:
+                        ok = False
+                        break
+                elif str(s) != str(v):
+                    ok = False
+                    break
+            if ok:
+                return True
+        return False
+
     # -- execution ---------------------------------------------------------
 
     def _run(self):
@@ -155,8 +176,33 @@ class SolverParameterStudy(ParameterStudy):
             reader = ReaderParameterStudy(directory=self._directory,
                                           name=self._name)
             reader.read_study()
-            previous = len(reader.get_parameters_to_line())
+            stored_rows = reader.get_parameters_to_line()
+            previous = len(stored_rows)
             dic_x = dict(reader.get_reconstructions())
+            stored_keys = reader.get_parameter_keys()
+            if stored_keys != keys:
+                raise RuntimeError(
+                    "Study '%s' cannot be appended: swept parameters %s "
+                    "differ from the stored ones %s"
+                    % (self._name, keys, stored_keys))
+            # resume-aware append: a killed sweep re-run with the same
+            # grid executes only the missing combinations (the reference
+            # uses get_parameters_to_line the same way to count completed
+            # rows, nsol/solver_parameter_study.py:158-168)
+            combos = [c for c in combos
+                      if not self._stored_combo(stored_rows, c)]
+            skipped = len(stored_rows) and (
+                len(list(itertools.product(*self._parameters.values())))
+                - len(combos))
+            if skipped:
+                ph.print_info(
+                    "Append: %d of the configured combinations are "
+                    "already stored — running the remaining %d"
+                    % (skipped, len(combos)))
+            if not combos:
+                ph.print_info("Append: study already complete; "
+                              "nothing to run")
+                return
         else:
             previous = 0
             dic_x = dict(self._reconstruction_info)

@@ -78,6 +78,11 @@ class ReaderParameterStudy(ParameterStudy):
         lines = self._lines_params[1:]
         return {tuple(line.split("\t")): i for i, line in enumerate(lines)}
 
+    def get_parameter_keys(self):
+        """The swept parameter names, in stored column order."""
+        self._check_that_study_was_read()
+        return self._lines_params[0].split("\t")
+
     def get_lines_to_parameters(self, parameters):
         """Row indices for a 1-D slice of the study grid.
 

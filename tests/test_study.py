@@ -392,3 +392,80 @@ def test_hybrid_study_with_fused_tikhonov_sweep(tmp_path, monkeypatch):
     a = np.loadtxt(os.path.join(out_x, "tk_measure_Reg.txt"))
     b = np.loadtxt(os.path.join(out_f, "tk_measure_Reg.txt"))
     np.testing.assert_allclose(b, a, rtol=1e-3)
+
+
+def test_append_resume_skips_completed_rows(tmp_path, rng):
+    """VERDICT r3 item 8: re-running a killed sweep with the SAME grid in
+    append mode executes only the missing combinations; a fully-stored
+    grid runs nothing and leaves the files untouched."""
+    # "killed mid-grid": the first run covered only 2 of 4 alphas
+    out, b = _run_study(tmp_path, rng, use_vmap=False, subdir="resume",
+                        alphas=(0.1, 0.3))
+
+    run_counter = {"n": 0}
+
+    def make_counting_solver():
+        solver, grad_j, bj = _make_pd_solver(b)
+        orig = solver.run
+
+        def counting_run():
+            run_counter["n"] += 1
+            return orig()
+
+        solver.run = counting_run
+        return solver, grad_j, bj
+
+    # re-run with the FULL grid: only the 2 missing alphas execute
+    solver, grad_j, bj = make_counting_solver()
+    obs = Observer()
+    obs.set_measures(_measures(grad_j, bj))
+    study = PrimalDualSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out, name="study",
+        parameters={"alpha": [0.1, 0.3, 0.5, 0.9]}, append=True,
+        use_vmap=False)
+    study.run()
+    assert run_counter["n"] == 2
+
+    reader = ReaderParameterStudy(directory=out, name="study")
+    reader.read_study()
+    assert reader.get_results("Data").shape[0] == 4
+    np.testing.assert_allclose(
+        sorted(float(a) for a in reader.get_parameters()["alpha"]),
+        [0.1, 0.3, 0.5, 0.9])
+    assert set(reader.get_reconstructions()) >= {"0", "1", "2", "3"}
+
+    # complete study: nothing runs, artifacts unchanged
+    before = open(os.path.join(out, "study_parameters.txt")).read()
+    solver2, grad_j, bj = make_counting_solver()
+    run_counter["n"] = 0
+    obs2 = Observer()
+    obs2.set_measures(_measures(grad_j, bj))
+    study2 = PrimalDualSolverParameterStudy(
+        solver=solver2, observer=obs2, dir_output=out, name="study",
+        parameters={"alpha": [0.1, 0.3, 0.5, 0.9]}, append=True,
+        use_vmap=False)
+    study2.run()
+    assert run_counter["n"] == 0
+    after = open(os.path.join(out, "study_parameters.txt")).read()
+    assert after == before
+
+
+def test_append_resume_vmapped_runs_only_missing(tmp_path, rng):
+    """The vmapped fast path also resumes: only the missing combinations
+    enter the batched program."""
+    out, b = _run_study(tmp_path, rng, use_vmap=True, subdir="resumev",
+                        alphas=(0.1, 0.3))
+    solver, grad_j, bj = _make_pd_solver(b)
+    obs = Observer()
+    obs.set_measures(_measures(grad_j, bj))
+    study = PrimalDualSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out, name="study",
+        parameters={"alpha": [0.1, 0.3, 0.5, 0.9]}, append=True,
+        use_vmap=True)
+    study.run()
+    reader = ReaderParameterStudy(directory=out, name="study")
+    reader.read_study()
+    assert reader.get_results("Data").shape[0] == 4
+    np.testing.assert_allclose(
+        sorted(float(a) for a in reader.get_parameters()["alpha"]),
+        [0.1, 0.3, 0.5, 0.9])
