@@ -161,6 +161,19 @@ def main():
     # --------------------------- Visualization -----------------------------
     if args.verbose and args.dir_output_figures is not None:
         _save_figures(args, observed_nda, recons, alphas, observers)
+    if args.verbose and observed_nda.ndim == 3:
+        # reference contract: 3-D denoising results open in ITK-Snap
+        # when available (run_denoising.py:197-248); best-effort here
+        # (itksnap executable or napari), silently headless otherwise
+        from nsol_tpu.viewer import try_interactive_3d
+
+        spacing = None
+        if data_reader.get_image_nifti() is not None:
+            spacing = np.array(data_reader.get_image_nifti().get_spacing())
+        try_interactive_3d(
+            [observed_nda] + recons,
+            ["observed"] + ["alpha=%g" % a for a in alphas],
+            spacing=spacing)
 
     return 0
 

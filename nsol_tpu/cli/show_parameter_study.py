@@ -130,7 +130,7 @@ def show_measures(reader, lines, dir_output=None):
 
 def show_reconstructions(reader, lines, dir_output=None,
                          colormap="Greys_r", reference=None,
-                         reference_mask=None):
+                         reference_mask=None, interactive=False):
     try:
         recon_dic = reader.get_reconstructions()
     except IOError as e:
@@ -189,6 +189,18 @@ def show_reconstructions(reader, lines, dir_output=None,
                 fig.savefig(os.path.join(dir_output, name + suffix))
             plt.close(fig)
         elif len(shape) == 3:
+            if interactive:
+                # reference contract: hand all reconstructions (+ mask
+                # as segmentation, + spacing) to the interactive viewer
+                # (show_parameter_study.py:279-313); headless gallery
+                # below is the fallback when none is installed
+                from nsol_tpu.viewer import try_interactive_3d
+
+                if try_interactive_3d(data_nda, labels, spacing=spacing,
+                                      segmentation=mask_nda):
+                    continue
+                print("No interactive 3-D viewer (itksnap/napari) "
+                      "available; rendering the headless gallery.")
             # Headless 3-D gallery: orthogonal central slices per recon,
             # with voxel spacing applied as per-plane aspect ratios so
             # anisotropic volumes display spatially correct. Arrays are
@@ -232,6 +244,11 @@ def main():
     input_parser.add_option(
         option_string="--show-reconstructions", type=int, default=1,
         help="Turn on/off visualization of reconstructions")
+    input_parser.add_option(
+        option_string="--interactive", type=int, default=0,
+        help="Open 3-D reconstructions in an interactive viewer "
+             "(itksnap or napari, if installed) instead of the "
+             "headless slice gallery")
     args = input_parser.parse_args()
     input_parser.print_arguments(args)
 
@@ -262,7 +279,8 @@ def main():
         show_reconstructions(reader, lines, args.dir_output_figures,
                              colormap=args.colormap,
                              reference=args.reference,
-                             reference_mask=args.reference_mask)
+                             reference_mask=args.reference_mask,
+                             interactive=bool(args.interactive))
     return 0
 
 

@@ -248,7 +248,8 @@ def _load_ext_pipelined(inputs, i, nblk, Z, block, r, n_buf=2,
 
 
 def _pick_layout(shape, halo, dtype, n_ext, n_io, n_tmp=6,
-                 budget_bytes=_LAYOUT_BUDGET_BYTES, block=None):
+                 budget_bytes=_LAYOUT_BUDGET_BYTES, block=None,
+                 slab_dtype=None):
     """Choose ``(block, n_buf)`` for a streaming kernel: the largest legal
     z-block — preferring double-buffered halo DMA — whose VMEM working set
     fits the budget. The model (validated against the compiler's scoped-
@@ -263,15 +264,20 @@ def _pick_layout(shape, halo, dtype, n_ext, n_io, n_tmp=6,
       ``_normal_center`` accumulator, the two swap-sandwich staging
       buffers, the Laplacian terms — ~6 blocks measured).
 
-    Returns ``(None, None)`` when nothing fits."""
-    plane = int(np.prod(shape[1:])) * jnp.dtype(dtype).itemsize
+    ``slab_dtype``: dtype of the halo-extended slabs when it differs
+    from the compute blocks' (compact bf16 state halves slab residency
+    — can unlock layouts that don't fit in f32, e.g. the 1-D step at
+    512³). Returns ``(None, None)`` when nothing fits."""
+    plane = int(np.prod(shape[1:]))
+    bpe = jnp.dtype(dtype).itemsize
+    bpe_slab = jnp.dtype(slab_dtype or dtype).itemsize
     for n_buf in (2, 1):
         for b in ((64, 32, 16, 8) if block is None else (block,)):
             if shape[0] % b or shape[0] // b < 2 or b < halo:
                 continue
-            planes = (n_ext * n_buf + 1) * (b + 2 * halo) \
-                + (2 * n_io + n_tmp) * b
-            if planes * plane <= budget_bytes:
+            nbytes = (n_ext * n_buf + 1) * (b + 2 * halo) * plane \
+                * bpe_slab + (2 * n_io + n_tmp) * b * plane * bpe
+            if nbytes <= budget_bytes:
                 return b, n_buf
     return None, None
 
@@ -352,15 +358,23 @@ def _normal_center(get, st, rho, i, block, refs, precision, row0=None,
 def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
                                  block=None, dtype=jnp.float32,
                                  precision=lax.Precision.HIGHEST,
-                                 interpret=False):
+                                 interpret=False, io_dtype=None):
     """Build ``apply(v, rho) -> AᵀA v + rho·DᵀD v`` streaming over z-blocks.
 
     ``shape`` must be 3-D with ``shape[0]`` divisible into ≥2 blocks of
     ``block`` rows (auto-picked when None); ``cov`` must be diagonal
     (separable blur). Use inside the normal-equation CG via the
     ``normal_M`` hook of :func:`nsol_tpu.solvers.tikhonov.tikhonov_solve`.
+
+    ``io_dtype`` (e.g. ``jnp.bfloat16``): COMPACT-state mode — the HBM
+    input/output and the DMA'd halo slabs use this narrower dtype while
+    every in-kernel computation (tap accumulation, MXU matmuls,
+    Laplacian) runs in ``dtype`` (f32). Halves the dominant HBM traffic
+    of the BW-bound scale configs (VERDICT r3 item 2); callers keep the
+    CG work vectors in ``io_dtype`` and x/reductions in f32.
     """
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
+    io_dtype = dtype if io_dtype is None else jnp.dtype(io_dtype)
     if block is None:
         block = pick_z_block(shape, st.halo, dtype)
         if block is None:
@@ -375,11 +389,11 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
         i = pl.program_id(0)
         slot = _load_ext_pipelined([(v_hbm, ext, sem)], i, nblk, Z,
                                    block, r)
-        get = lambda s0, n: ext[slot, pl.ds(s0, n)]
+        get = lambda s0, n: ext[slot, pl.ds(s0, n)].astype(dtype)
         q, _ = _normal_center(
             get, st, rho_ref[0, 0], i, block,
             (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision)
-        out_ref[:] = q
+        out_ref[:] = q.astype(io_dtype)
 
     const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
                                      memory_space=pltpu.VMEM)
@@ -394,9 +408,9 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((block, Y, X), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        out_shape=jax.ShapeDtypeStruct(shape, io_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, block + 2 * r, Y, X), dtype),
+            pltpu.VMEM((2, block + 2 * r, Y, X), io_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -406,7 +420,8 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
 
     def apply(v, rho):
         rr = jnp.full((1, 1), rho, dtype)
-        return call(rr, st.Ny, st.Nx, st.Ty, st.Tx, jnp.asarray(v, dtype))
+        return call(rr, st.Ny, st.Nx, st.Ty, st.Tx,
+                    jnp.asarray(v, io_dtype))
 
     return apply
 
@@ -660,7 +675,7 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
                                     z_block=32, y_block=128,
                                     dtype=jnp.float32,
                                     precision=lax.Precision.HIGHEST,
-                                    interpret=False):
+                                    interpret=False, io_dtype=None):
     """2-D (z, y)-blocked ``apply(v, rho) -> AᵀA v + rho·DᵀD v`` — the
     512-wide-plane variant of :func:`make_blocked_normal_operator`.
 
@@ -674,6 +689,7 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
     boundary-condition semantics match ops/conv.py / ops/grad.py; parity
     pinned in tests/test_pallas.py."""
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
+    io_dtype = dtype if io_dtype is None else jnp.dtype(io_dtype)
     Z, Y, X = shape
     r = st.halo
     # sublane-dim DMA slices must be 8-aligned: pad the y halo up.
@@ -701,11 +717,11 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
         jy = pl.program_id(1)
         slot = _load_ext_2d_pipelined([(v_hbm, ext, sem)], i, jy, nbz,
                                       nby, Z, Y, Bz, By, r, ry)
-        get = lambda s0, n: ext[slot, pl.ds(s0, n)]
+        get = lambda s0, n: ext[slot, pl.ds(s0, n)].astype(dtype)
         q, _ = _normal_center_2d(
             get, st, rho_ref[0, 0], i, jy, Bz, By, r, ry,
             (wny_ref[:], wty_ref[:], nx_ref[:], tx_ref[:]), precision)
-        out_ref[:] = q
+        out_ref[:] = q.astype(io_dtype)
 
     const = lambda shp: pl.BlockSpec(shp, lambda i, j: (0,) * len(shp),
                                      memory_space=pltpu.VMEM)
@@ -720,9 +736,9 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((Bz, By, X), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        out_shape=jax.ShapeDtypeStruct(shape, io_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), dtype),
+            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), io_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -732,7 +748,8 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
 
     def apply(v, rho):
         rr = jnp.full((1, 1), rho, dtype)
-        return call(rr, Wny, Wty, st.Nx, st.Tx, jnp.asarray(v, dtype))
+        return call(rr, Wny, Wty, st.Nx, st.Tx,
+                    jnp.asarray(v, io_dtype))
 
     return apply
 
@@ -878,7 +895,7 @@ def make_blocked_cg_step_2d(shape, cov, alpha_cut=3, spacing=None,
 def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
                          block=None, dtype=jnp.float32,
                          precision=lax.Precision.HIGHEST,
-                         interpret=False, n_buf=None):
+                         interpret=False, n_buf=None, io_dtype=None):
     """Build the fused CG hot step
     ``step(r, p, beta, rho) -> (p_new, q, pq)`` with
     ``p_new = r + β·p``, ``q = (AᵀA + ρDᵀD) p_new``, ``pq = Σ p_new·q`` —
@@ -886,8 +903,15 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
     dots) instead of separate direction-update / operator / dot sweeps.
     The ``β=0`` first trip makes ``p_new = r``, so the same program serves
     every CG iteration (solvers/cg.py semantics).
+
+    ``io_dtype`` (e.g. ``jnp.bfloat16``): compact-state mode — r/p/p'/q
+    and the halo slabs live in the narrower dtype in HBM/VMEM while the
+    p'-update, tap accumulation, matmuls and the ``Σp'q`` partial run in
+    ``dtype`` (f32); the pq output stays f32. Halves the kernel's HBM
+    traffic (VERDICT r3 item 2).
     """
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
+    io_dtype = dtype if io_dtype is None else jnp.dtype(io_dtype)
     # Working set: 2 halo-extended inputs (r, p) × n_buf DMA slots + the
     # materialized p' slab + pipelined q out (2) + ~4 compute temporaries.
     # 512³ picks (block=8, n_buf=1); oversized planes (e.g. 1024² cuts)
@@ -895,7 +919,8 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
     # instead of a Mosaic compile failure deep inside the first jit.
     n_buf_override = n_buf
     block, n_buf = _pick_layout(shape, st.halo, dtype, n_ext=2,
-                                n_io=1, block=block)
+                                n_io=1, block=block,
+                                slab_dtype=io_dtype)
     if n_buf_override is not None:
         n_buf = n_buf_override
     if block is None:
@@ -919,18 +944,19 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
         # run the single-input tap loop over it. The previous lazy
         # two-slab accessor kept per-tap slices of BOTH slabs live and
         # register-spilled 65 MB past VMEM at 512-wide planes.
-        pn_ext[...] = ext_r[slot] + beta * ext_p[slot]
+        pn_ext[...] = (ext_r[slot].astype(dtype)
+                       + beta * ext_p[slot].astype(dtype)).astype(io_dtype)
         # p' center goes out via manual DMA straight from the scratch —
         # overlaps the whole M-apply below; waited before the block ends.
         out_dma = pltpu.make_async_copy(
             pn_ext.at[pl.ds(r_h, block)],
             pn_hbm.at[pl.ds(i * block, block)], sem_out)
         out_dma.start()
-        get = lambda s0, n: pn_ext[pl.ds(s0, n)]
+        get = lambda s0, n: pn_ext[pl.ds(s0, n)].astype(dtype)
         q, pn_center = _normal_center(
             get, st, rho, i, block,
             (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision)
-        q_ref[:] = q
+        q_ref[:] = q.astype(io_dtype)
         # per-block partial dot; (1, 8, 128) broadcast satisfies the
         # Mosaic (8, 128) minor-dims tiling rule for blocked outputs
         pq_ref[:] = jnp.full((1, 8, 128), jnp.sum(pn_center * q), dtype)
@@ -955,14 +981,14 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(shape, dtype),
-            jax.ShapeDtypeStruct(shape, dtype),
+            jax.ShapeDtypeStruct(shape, io_dtype),
+            jax.ShapeDtypeStruct(shape, io_dtype),
             jax.ShapeDtypeStruct((nblk, 8, 128), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), dtype),
-            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), dtype),
-            pltpu.VMEM((block + 2 * r_h, Y, X), dtype),
+            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), io_dtype),
+            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), io_dtype),
+            pltpu.VMEM((block + 2 * r_h, Y, X), io_dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA(()),
@@ -976,7 +1002,8 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
         sc = jnp.stack([jnp.asarray(beta, dtype),
                         jnp.asarray(rho, dtype)]).reshape(1, 2)
         pn, q, pq = call(sc, st.Ny, st.Nx, st.Ty, st.Tx,
-                         jnp.asarray(r, dtype), jnp.asarray(p, dtype))
+                         jnp.asarray(r, io_dtype),
+                         jnp.asarray(p, io_dtype))
         return pn, q, jnp.sum(pq[:, 0, 0])
 
     return step
@@ -1130,9 +1157,17 @@ def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
 def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
                        iterations=10, iter_max=10, dtype=jnp.float32,
                        precision=lax.Precision.HIGHEST, block=None,
-                       interpret=False, mode="auto"):
+                       interpret=False, mode="auto", state_dtype=None):
     """Build ``solve(b, x0, alpha, rho) -> x``: ADMM TV-L2 deconvolution
     for volumes past VMEM, fully streaming.
+
+    ``state_dtype`` (e.g. ``jnp.bfloat16``): compact CG state — the
+    work vectors r/p/q and the DMA'd halo slabs are stored in the
+    narrower dtype (HBM traffic of the BW-bound scale configs roughly
+    halves, VERDICT r3 item 2) while x, every reduction, and all
+    in-kernel arithmetic stay ``dtype`` (f32 accumulation). The r0 of
+    each outer x-update is recomputed in f32 from scratch, so rounding
+    does not accumulate across outer iterations.
 
     ``mode="sweep"`` (default where it fits): every CG iteration is ONE
     z-blocked Pallas pass (:func:`make_blocked_cg_sweep`) — the deferred
@@ -1157,15 +1192,20 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
     from nsol_tpu.ops.prox import vectorial_soft_threshold
 
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
+    io = dtype if state_dtype is None else jnp.dtype(state_dtype)
+    to_io = (lambda a: a) if io == dtype else (lambda a: a.astype(io))
+    to_f = (lambda a: a) if io == dtype else (lambda a: a.astype(dtype))
     if mode == "auto":
         # "step" is the measured production formulation (46.1 vs the
         # sweep's 39.3 it/s at 256³ high3, same session 2026-08-21 — the
         # sweep's extra halo'd input and its output pipelining cost more
         # than the one XLA elementwise fusion it removes, which was
         # already hidden under DMA/MXU work). "sweep" stays available
-        # explicitly, with its parity pinned in tests.
+        # explicitly, with its parity pinned in tests. Compact bf16
+        # state halves slab residency, which can unlock the step layout
+        # where f32 could not fit (512³).
         if _pick_layout(shape, st.halo, dtype, n_ext=2, n_io=1,
-                        block=block)[0]:
+                        block=block, slab_dtype=io)[0]:
             mode = "step"
         else:
             # 512-wide planes: the 1-D step layout exceeds the scoped-
@@ -1176,14 +1216,21 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             # simpler formulation; "step2d" stays available explicitly.
             mode = "apply"
     if mode == "sweep":
+        if io != dtype:
+            raise ValueError("state_dtype is not supported for "
+                             "mode='sweep'")
         cg_sweep = make_blocked_cg_sweep(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
             dtype=dtype, precision=precision, interpret=interpret)
     elif mode == "step":
         cg_step = make_blocked_cg_step(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
-            dtype=dtype, precision=precision, interpret=interpret)
+            dtype=dtype, precision=precision, interpret=interpret,
+            io_dtype=io)
     elif mode == "step2d":
+        if io != dtype:
+            raise ValueError("state_dtype is not supported for "
+                             "mode='step2d'")
         cg_step = make_blocked_cg_step_2d(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing,
             dtype=dtype, precision=precision, interpret=interpret)
@@ -1199,11 +1246,12 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
         apply_M = make_blocked_normal_operator_2d(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, z_block=zb,
             y_block=yb, dtype=dtype, precision=precision,
-            interpret=interpret)
+            interpret=interpret, io_dtype=io)
     else:
         apply_M = make_blocked_normal_operator(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
-            dtype=dtype, precision=precision, interpret=interpret)
+            dtype=dtype, precision=precision, interpret=interpret,
+            io_dtype=io)
     # one-time Aᵀb (A symmetric ⇒ Aᵀb = Ab): loop-invariant, XLA matmuls.
     # ``precision`` may be the Pallas-only "high3" string (3-pass
     # emulated-HIGH inside the kernels); the XLA-side constant prep is
@@ -1221,9 +1269,12 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
         w = jnp.zeros_like(v)
 
         def cg_step_mode(x, r):
-            # round-2 formulation: fused kernel + one XLA fusion per iter
+            # round-2 formulation: fused kernel + one XLA fusion per
+            # iter. Compact mode: r/p/q carried in ``io``, x and all
+            # scalars in f32 (the r update runs in f32 then rounds).
             gamma = jnp.sum(r * r)
-            p = jnp.zeros_like(x)
+            r = to_io(r)
+            p = jnp.zeros_like(r)
             beta = jnp.asarray(0.0, dtype)
 
             def cg_iter(c, _):
@@ -1231,13 +1282,13 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
                 p, q, pq = cg_step(r, p, beta, rho)
                 a = jnp.where(pq > 0,
                               gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
-                x = x + a * p
-                r = r - a * q
-                gamma_new = jnp.sum(r * r)
+                x = x + a * to_f(p)
+                r32 = to_f(r) - a * to_f(q)
+                gamma_new = jnp.sum(r32 * r32)
                 beta = jnp.where(gamma > 0,
                                  gamma_new / jnp.where(gamma > 0, gamma,
                                                        1.0), 0.0)
-                return (x, r, p, gamma_new, beta), None
+                return (x, to_io(r32), p, gamma_new, beta), None
 
             (x, _, _, _, _), _ = lax.scan(
                 cg_iter, (x, r, p, gamma, beta), None, length=iter_max)
@@ -1268,23 +1319,28 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             return x + a * p  # the last iteration's still-owed update
 
         def cg_apply_mode(x, r):
-            # plain CG (solvers/cg.py semantics) around the blocked apply
+            # plain CG (solvers/cg.py semantics) around the blocked
+            # apply; compact mode keeps r/p/q in ``io`` and the updates
+            # + reductions in f32
             gamma = jnp.sum(r * r)
+            r = to_io(r)
             p = r
 
             def cg_iter(c, _):
                 x, r, p, gamma = c
                 q = apply_M(p, rho)
-                pq = jnp.sum(p * q)
+                p32, q32 = to_f(p), to_f(q)
+                pq = jnp.sum(p32 * q32)
                 a = jnp.where(pq > 0,
                               gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
-                x = x + a * p
-                r = r - a * q
-                gamma_new = jnp.sum(r * r)
+                x = x + a * p32
+                r32 = to_f(r) - a * q32
+                gamma_new = jnp.sum(r32 * r32)
                 beta = jnp.where(gamma > 0,
                                  gamma_new / jnp.where(gamma > 0, gamma,
                                                        1.0), 0.0)
-                return (x, r, r + beta * p, gamma_new), None
+                return (x, to_io(r32), to_io(r32 + beta * p32),
+                        gamma_new), None
 
             (x, _, _, _), _ = lax.scan(cg_iter, (x, r, p, gamma), None,
                                        length=iter_max)
@@ -1294,8 +1350,10 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             x, v, w = carry
             rhs = At_b + rho * G.gradient_adjoint(v - w, spacing)
 
-            # warm-started CG on the normal equations (solvers/cg.py)
-            r = rhs - apply_M(x, rho)
+            # warm-started CG on the normal equations (solvers/cg.py);
+            # r0 recomputed in f32 each outer iteration — compact-state
+            # rounding cannot accumulate across the outer loop
+            r = rhs - to_f(apply_M(x, rho))
             x = {"sweep": cg_sweep_mode, "step": cg_step_mode,
                  "apply": cg_apply_mode}[mode](x, r)
             x = jnp.maximum(x, 0.0)  # reference default bounds (0, ∞)

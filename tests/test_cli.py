@@ -413,3 +413,33 @@ def test_deconvolution_study_default_flags_route_fused(tmp_path):
     run(common + ["--minimizer", "lsmr"], out_lsmr, {})
     assert os.path.exists(os.path.join(out_lsmr,
                                        "TVL2_reconstructions.npz"))
+
+
+def test_interactive_viewer_fallback(tmp_path, monkeypatch):
+    """try_interactive_3d: no itksnap/napari here -> returns False;
+    with a fake itksnap on PATH it writes the volumes as NIfTI and
+    launches the viewer command (reference -g/-o/-s contract)."""
+    import numpy as np
+
+    from nsol_tpu.viewer import try_interactive_3d
+
+    vols = [np.random.RandomState(0).rand(4, 5, 6).astype(np.float32)]
+    assert try_interactive_3d(vols, ["a"]) is False  # headless fallback
+
+    fake = tmp_path / "bin"
+    fake.mkdir()
+    log = tmp_path / "cmd.txt"
+    exe = fake / "itksnap"
+    exe.write_text("#!/bin/sh\necho \"$@\" > %s\n" % log)
+    exe.chmod(0o755)
+    monkeypatch.setenv("PATH", str(fake) + os.pathsep
+                       + os.environ.get("PATH", ""))
+    seg = (vols[0] > 0.5).astype(np.float32)
+    assert try_interactive_3d(vols + [vols[0] * 2], ["a", "b"],
+                              spacing=np.array([1.0, 1.5, 2.0]),
+                              segmentation=seg, block=True)
+    args = log.read_text().split()
+    assert args[0] == "-g" and "-o" in args and "-s" in args
+    for p in (args[1], args[args.index("-o") + 1],
+              args[args.index("-s") + 1]):
+        assert os.path.isfile(p) and p.endswith(".nii.gz")
