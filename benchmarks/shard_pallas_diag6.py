@@ -50,7 +50,7 @@ def make_variant(matmuls, double_buf):
     prec = lax.Precision.HIGHEST
 
     def compute(ext_blk, mats):
-        u = ext_blk[pl.ds(R, ZB)] * 1.0000001
+        u = lax.slice_in_dim(ext_blk, R, R + ZB, axis=0) * 1.0000001
         if matmuls:
             for m in mats:
                 ut = jnp.swapaxes(u, 1, 2)

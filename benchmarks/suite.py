@@ -692,7 +692,9 @@ def config_scale_256cubed_blocked_cg():
     rh = jnp.asarray(0.5, DTYPE)
 
     out = {"config": "synthetic_256cubed_tv_admm_cg_50it_blocked_cg"}
-    for tag, kw in (("highest", {}), ("high3", {"precision": "high3"})):
+    for tag, kw in (("highest", {}), ("high3", {"precision": "high3"}),
+                    ("high3_bf16", {"precision": "high3",
+                                    "state_dtype": jnp.bfloat16})):
         solve = blocked_admm_solve(shape, cov, iterations=50, iter_max=10,
                                    **kw)
 
@@ -829,6 +831,57 @@ def config_scale_512cubed_blocked_cg():
             "s_per_solve": round(per, 3)}
 
 
+def config_scale_512cubed_compact():
+    """512³ with compact bf16 CG state (round 4): the 2-D blocked apply
+    + XLA CG with r/p/q and halo slabs in bfloat16, f32 accumulation —
+    the BW-bound volume's traffic roughly halves (measured 4.8 → 5.6
+    it/s high3, objective drift 0.06%, 2026-08-21). Reports both state
+    dtypes for the drift gate."""
+    import os
+
+    from nsol_tpu.ops.pallas.blocked import blocked_admm_solve
+
+    shape = (512, 512, 512)
+    rng = np.random.RandomState(0)
+    x_true = (rng.rand(*shape) > 0.7).astype(DTYPE)
+    cov = np.diag([1.0] * 3)
+    A, _ = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                 method="auto", dtype=DTYPE)
+    Bg, _ = G.make_gradient_operators()
+    xj = jnp.asarray(x_true)
+    b = jit_closed(A, (xj,))(xj)
+    del x_true, xj
+    al = jnp.asarray(0.01, DTYPE)
+    rh = jnp.asarray(0.5, DTYPE)
+    prec = ("high3" if os.environ.get("NSOL_SUITE_512_HIGH3")
+            else jax.lax.Precision.HIGHEST)
+
+    def objective(bi, x):
+        r = A(x) - bi
+        g = Bg(x)
+        return 0.5 * jnp.sum(r * r) \
+            + al * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
+
+    obj_f = jit_closed(objective, (b, b))
+    out = {"config": "synthetic_512cubed_blocked_compact"}
+    for tag, sd in (("f32", None), ("bf16", jnp.bfloat16)):
+        solve = blocked_admm_solve(shape, cov, iterations=50, iter_max=10,
+                                   mode="apply", precision=prec,
+                                   state_dtype=sd)
+        f = jit_closed(lambda bi, x0: solve(bi, x0, al, rh), (b, b))
+        x = f(b, b)
+        out["objective_" + tag] = round(float(np.asarray(obj_f(b, x))), 1)
+        n = 2
+        t0 = time.perf_counter()
+        xi = b
+        for _ in range(n):
+            xi = f(b, xi)
+        np.asarray(xi[0, 0, 0])
+        per = (time.perf_counter() - t0) / n
+        out["iters_per_sec_" + tag] = round(50 / per, 1)
+    return out
+
+
 def main():
     all_configs = (config1_lena_pd_denoise, config1_lena_pd_denoise_fused,
                    config2_lena_robust_deconv,
@@ -844,7 +897,8 @@ def main():
                    config_scale_256cubed_blocked,
                    config_scale_256cubed_blocked_cg,
                    config_scale_256cubed_blocked_high3,
-                   config_scale_512cubed_blocked_cg)
+                   config_scale_512cubed_blocked_cg,
+                   config_scale_512cubed_compact)
     configs = all_configs
     if len(sys.argv) > 1:
         configs = tuple(f for f in all_configs
@@ -890,6 +944,14 @@ def main():
                 and abs(o3 - oh) > 1e-3 * abs(oh):
             failures.append("%s: high3 objective %s vs HIGHEST %s drifts "
                             "past 0.1%%" % (cfg, o3, oh))
+        ob = out.get("objective_high3_bf16")
+        anchor = oh if oh is not None else out.get("objective_f32")
+        if ob is None:
+            ob = out.get("objective_bf16")
+        if anchor is not None and ob is not None \
+                and abs(ob - anchor) > 1.5e-3 * abs(anchor):
+            failures.append("%s: compact-state objective %s vs %s drifts "
+                            "past 0.15%%" % (cfg, ob, anchor))
         if cfg.startswith("lena256_huber_admm") and "objective" in out:
             huber_objs[cfg] = out["objective"]
     if len(huber_objs) > 1:

@@ -155,10 +155,17 @@ def main():
             try:
                 from nsol_tpu.ops.pallas.blocked import blocked_admm_solve
 
+                # NSOL_TPU_COMPACT=1 opts into compact bf16 CG state:
+                # +11-17% on the BW-bound scale volumes at 0.06%
+                # OBJECTIVE drift — but worst-case VOXEL deviations
+                # reach ~1% (TV flat directions), so it is not a silent
+                # default (BASELINE.md round 4).
+                sd = (jnp.bfloat16 if os.environ.get("NSOL_TPU_COMPACT")
+                      else None)
                 blocked = blocked_admm_solve(
                     observed_nda.shape, cov, spacing=spacing,
                     iterations=args.iterations, iter_max=args.iter_max,
-                    interpret=interp)
+                    interpret=interp, state_dtype=sd)
                 fused_jit = jit_closed(
                     lambda x0, a: blocked(bj, x0, a, rho0), (bj, a0))
             except ValueError:

@@ -1203,9 +1203,14 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
         # already hidden under DMA/MXU work). "sweep" stays available
         # explicitly, with its parity pinned in tests. Compact bf16
         # state halves slab residency, which can unlock the step layout
-        # where f32 could not fit (512³).
-        if _pick_layout(shape, st.halo, dtype, n_ext=2, n_io=1,
-                        block=block, slab_dtype=io)[0]:
+        # where f32 could not fit (512³) — but a SINGLE-buffered step
+        # (no DMA/compute overlap) measured slower there than the 2-D
+        # apply + XLA CG (5.0 vs 5.6 it/s compact, 2026-08-21), so auto
+        # requires the double-buffered layout; "step" stays available
+        # explicitly.
+        blk_, nbuf_ = _pick_layout(shape, st.halo, dtype, n_ext=2,
+                                   n_io=1, block=block, slab_dtype=io)
+        if blk_ is not None and nbuf_ == 2:
             mode = "step"
         else:
             # 512-wide planes: the 1-D step layout exceeds the scoped-

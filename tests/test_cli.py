@@ -310,6 +310,18 @@ def test_run_deconvolution_blocked_path_matches_xla_cli(tmp_path):
     scale = max(1.0, float(np.abs(a).max()))
     assert np.max(np.abs(a - b)) / scale < 5e-5
 
+    # NSOL_TPU_COMPACT=1 opts into bf16 CG state: objective-equal class
+    # but voxel-level deviations up to ~1-2% (TV flat directions) —
+    # which is why it is NOT the CLI default
+    env["NSOL_TPU_COMPACT"] = "1"
+    out_compact = str(tmp_path / "blocked_compact.nii.gz")
+    p = subprocess.run(
+        [sys.executable] + base + ["--result", out_compact], env=env,
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-2000:]
+    c = read_nifti(out_compact).data
+    assert np.max(np.abs(a - c)) / scale < 2e-2
+
 
 def test_study_sweeps_fused_vs_xla_equivalence(tmp_path):
     """The fused-kernel sweep fast paths (denoising PD + deconvolution
