@@ -95,7 +95,7 @@ def make_variant(matmuls, double_buf):
                 v_hbm.at[pl.ds(i * ZB, ZB + 2 * R)], ext, sem)
             c.start()
             c.wait()
-            o_ref[:] = compute(ext, (m1[:], m2[:], m3[:], m4[:]))
+            o_ref[:] = compute(ext[...], (m1[:], m2[:], m3[:], m4[:]))
 
         scratch = [pltpu.VMEM((ZB + 2 * R,) + SHAPE[1:], jnp.float32),
                    pltpu.SemaphoreType.DMA]
