@@ -266,10 +266,14 @@ def _batched_ab(tag, make_xla_one, make_fused_one, b, alphas, iters,
 
 
 def config1_batched_ab():
-    """Config 1 (Lena 256² TVL2 PD, 50 it) under the batched protocol."""
+    """Config 1 (Lena 256² TVL2 PD, 50 it) under the batched protocol.
+    Batch 64: the 16-batch variant still showed the XLA leg moving ~3×
+    between sessions (0.47–1.4 ms/solve — launch-granularity effects);
+    64 solves per dispatch matches the granularity of the stable
+    config-4 sweep."""
     noisy = _read("2D_Lena_256_noise.png")
     b = jnp.asarray(noisy / float(noisy.max()))
-    alphas = jnp.linspace(0.4, 0.8, 16, dtype=DTYPE)
+    alphas = jnp.linspace(0.3, 0.9, 64, dtype=DTYPE)
     grad_op, grad_adj = G.make_gradient_operators()
     L2 = jnp.asarray(8.0, DTYPE)
 
@@ -293,7 +297,7 @@ def config1_batched_ab():
                                              iterations=50)
         return lambda alpha, x0: fused(b, x0, alpha, L2)
 
-    return _batched_ab("lena256_tvl2_pd_50it_batched16", make_xla_one,
+    return _batched_ab("lena256_tvl2_pd_50it_batched64", make_xla_one,
                        make_fused_one, b, alphas, 50)
 
 
