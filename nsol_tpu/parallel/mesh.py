@@ -188,16 +188,18 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
 
             from nsol_tpu.parallel import blocked_halo
             on_cpu = jax.default_backend() == "cpu"
-            # auto-enable only on real multi-host slices: correctness is
-            # pinned everywhere (tests/test_sharding.py), but the
-            # single-chip axon tunnel pays a ~10-30 ms per-pallas-call
-            # dispatch overhead inside manually-partitioned modules
-            # (measured 2026-08-21 — a trivial BlockSpec kernel runs
-            # 1.1 ms under plain jit vs ~13 ms under shard_map,
-            # size-independent; benchmarks/shard_pallas_diag2.py), so a
-            # 1-process mesh keeps the XLA matmul operators by default.
-            # Explicit use_blocked=True opts in for real hardware.
-            auto = (not on_cpu and jax.process_count() > 1
+            # auto-enable on real multi-chip meshes (n_shards > 1 —
+            # single-process slices like a v5e-8 included — or
+            # multi-host): correctness is pinned everywhere
+            # (tests/test_sharding.py). The single-chip axon tunnel is
+            # excluded by construction (its meshes have one shard):
+            # there, MXU matmuls inside manually-partitioned modules
+            # run 20-50x slower — XLA einsum included, so not a Pallas
+            # or formulation issue (bisected 2026-08-21,
+            # benchmarks/shard_pallas_diag6/7.py). Explicit
+            # use_blocked=True opts in anywhere.
+            auto = (not on_cpu
+                    and (n_shards > 1 or jax.process_count() > 1)
                     and int(np.prod(local_shape)) * b.dtype.itemsize
                     >= 16 * 1024 * 1024)
             if use_blocked or auto \
