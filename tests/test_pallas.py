@@ -1079,3 +1079,42 @@ def test_blocked_admm_solve_compact_state(rng):
         o32 = objective(np.asarray(solve32(b, b, 0.01, 0.5)))
         o16 = objective(np.asarray(solve16(b, b, 0.01, 0.5)))
         assert abs(o16 - o32) / abs(o32) < 1e-3, (mode, o16, o32)
+
+
+def test_blocked_prepadded_window_semantics(rng):
+    """make_blocked_normal_operator_prepadded: the per-shard kernel of
+    the sharded scale path — (a) full-volume wrap prepad with row0=0
+    equals the wrap-DMA kernel, (b) two z-windows of a taller global
+    volume with their row0 offsets reassemble the global result (the
+    runtime global-boundary Laplacian rows land on the right window)."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops.conv import make_normal_blur_operator
+    from nsol_tpu.ops.pallas.blocked import (
+        _Stencils, make_blocked_normal_operator_prepadded)
+
+    shape = (32, 16, 16)
+    cov = np.diag([1.0, 1.0, 1.0])
+    st = _Stencils(shape, cov, 3, None, jnp.float32)
+    r = st.halo
+    v = rng.rand(*shape).astype(np.float32)
+    nA = make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    want = np.asarray(jax.jit(
+        lambda u: nA(u) + 0.7 * G.gradient_normal(u))(jnp.asarray(v)))
+
+    v_ext = np.concatenate([v[-r:], v, v[:r]], axis=0)
+    ap = make_blocked_normal_operator_prepadded(shape, cov,
+                                                interpret=True)
+    np.testing.assert_allclose(np.asarray(ap(v_ext, 0.7, 0)), want,
+                               atol=2e-5, rtol=1e-5)
+
+    local = (16, 16, 16)
+    ap2 = make_blocked_normal_operator_prepadded(local, cov, z_total=32,
+                                                 interpret=True)
+    outs = []
+    for s in range(2):
+        lo = s * 16
+        idx = np.arange(lo - r, lo + 16 + r) % 32
+        outs.append(np.asarray(ap2(v[idx], 0.7, lo)))
+    np.testing.assert_allclose(np.concatenate(outs, axis=0), want,
+                               atol=2e-5, rtol=1e-5)
