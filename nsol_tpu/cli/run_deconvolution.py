@@ -21,6 +21,9 @@ from nsol_tpu.ops import grad as G
 
 
 def main():
+    from nsol_tpu.cli import setup_compile_cache
+
+    setup_compile_cache()
     input_parser = InputArgparser(
         description="Run TK0L2/TK1L2/TVL2/HuberL2 deconvolution")
     input_parser.add_observation(required=True)

@@ -13,6 +13,9 @@ from nsol_tpu.ops import grad as G
 
 
 def main():
+    from nsol_tpu.cli import setup_compile_cache
+
+    setup_compile_cache()
     input_parser = InputArgparser(
         description="Run deconvolution algorithm study")
     input_parser.add_observation(required=True)

@@ -23,6 +23,9 @@ from nsol_tpu.solvers.wrappers import PrimalDualSolver, ADMMLinearSolver
 
 
 def main():
+    from nsol_tpu.cli import setup_compile_cache
+
+    setup_compile_cache()
     input_parser = InputArgparser(
         description="Run TVL1/TVL2/HuberL1/HuberL2 denoising")
     input_parser.add_observation(required=True)

@@ -24,6 +24,9 @@ from nsol_tpu.study import PrimalDualSolverParameterStudy
 
 
 def main():
+    from nsol_tpu.cli import setup_compile_cache
+
+    setup_compile_cache()
     input_parser = InputArgparser(description="Run denoising algorithm study")
     input_parser.add_observation(required=True)
     input_parser.add_reference(required=False)
