@@ -310,7 +310,7 @@ def _lap_minor(u, mat, axis, banded, inv_h2, precision):
 
 
 def _normal_center(get, st, rho, i, block, refs, precision, row0=None,
-                   z_total=None):
+                   z_total=None, lap_precision=None):
     """``(AᵀA + ρ·DᵀD)`` of a halo-extended slab, evaluated on its
     ``block`` center rows. ``get(start, size)`` returns slab rows
     ``[start, start+size)`` — callers pass views of ONE materialized
@@ -349,9 +349,13 @@ def _normal_center(get, st, rho, i, block, refs, precision, row0=None,
         - lax.slice_in_dim(center, block - 2, block - 1, axis=0)
     lz = jnp.where(rows == 0, first, lz)
     lz = jnp.where(rows == Z - 1, last, lz)
+    # the Laplacian matmuls act on ``center`` directly, which in
+    # compact-state mode is a bf16-exact f32 value → the caller passes
+    # lap_precision="high2" (one fewer MXU pass at identical accuracy)
+    lp = precision if lap_precision is None else lap_precision
     lap = lz * st.inv_h2_z \
-        + _lap_minor(center, ty, 1, st.banded_y, st.inv_h2_y, precision) \
-        + _lap_minor(center, tx, 2, st.banded_x, st.inv_h2_x, precision)
+        + _lap_minor(center, ty, 1, st.banded_y, st.inv_h2_y, lp) \
+        + _lap_minor(center, tx, 2, st.banded_x, st.inv_h2_x, lp)
     return qa + rho * lap, center
 
 
@@ -375,6 +379,10 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
     """
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
     io_dtype = dtype if io_dtype is None else jnp.dtype(io_dtype)
+    # compact-state slab values are bf16-exact → the Laplacian matmuls
+    # run at "high2" (one fewer MXU pass, identical accuracy)
+    lap_prec = ("high2" if (io_dtype == jnp.bfloat16
+                            and precision == "high3") else None)
     if block is None:
         block = pick_z_block(shape, st.halo, dtype)
         if block is None:
@@ -392,7 +400,8 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
         get = lambda s0, n: ext[slot, pl.ds(s0, n)].astype(dtype)
         q, _ = _normal_center(
             get, st, rho_ref[0, 0], i, block,
-            (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision)
+            (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision,
+            lap_precision=lap_prec)
         out_ref[:] = q.astype(io_dtype)
 
     const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
@@ -629,7 +638,7 @@ def _load_ext_2d_pipelined(inputs, i, jy, nbz, nby, Z, Y, Bz, By, r, ry):
 
 
 def _normal_center_2d(get, st, rho, i, jy, Bz, By, r, ry, refs,
-                      precision):
+                      precision, lap_precision=None):
     """``(AᵀA + ρ·DᵀD)`` of a 2-D halo-extended slab, evaluated on its
     ``(Bz, By)`` center. ``get(s0, n)`` returns slab z-rows (full y
     extension); ``refs = (wny, wty, nx, tx)`` — the rectangular y band
@@ -657,7 +666,8 @@ def _normal_center_2d(get, st, rho, i, jy, Bz, By, r, ry, refs,
     lz = jnp.where(rows == 0, first, lz)
     lz = jnp.where(rows == Z - 1, last, lz)
 
-    ly = _minor_matmul(get(r, Bz), wty, 1, 3, precision)
+    lp = precision if lap_precision is None else lap_precision
+    ly = _minor_matmul(get(r, Bz), wty, 1, 3, lp)
     ycols = lax.broadcasted_iota(jnp.int32, (1, By, 1), 1) + jy * By
     u0 = lax.slice_in_dim(center, 0, 1, axis=1)
     u1 = lax.slice_in_dim(center, 1, 2, axis=1)
@@ -667,7 +677,7 @@ def _normal_center_2d(get, st, rho, i, jy, Bz, By, r, ry, refs,
     ly = jnp.where(ycols == Y - 1, (2.0 * um1 - um2) * st.inv_h2_y, ly)
 
     lap = lz * st.inv_h2_z + ly \
-        + _lap_minor(center, tx, 2, st.banded_x, st.inv_h2_x, precision)
+        + _lap_minor(center, tx, 2, st.banded_x, st.inv_h2_x, lp)
     return qa + rho * lap, center
 
 
@@ -696,6 +706,8 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
     # Sized from the Y-axis band (halo_y), NOT the z halo — anisotropic
     # covariance (sigma_y != sigma_z) makes them differ.
     ry = -((-max(st.halo_y, 1)) // 8) * 8
+    lap_prec = ("high2" if (io_dtype == jnp.bfloat16
+                            and precision == "high3") else None)
     Bz, By = int(z_block), int(y_block)
     for n, B, h, name in ((Z, Bz, r, "z"), (Y, By, ry, "y")):
         if n % B or n // B < 2 or B < h:
@@ -720,7 +732,8 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
         get = lambda s0, n: ext[slot, pl.ds(s0, n)].astype(dtype)
         q, _ = _normal_center_2d(
             get, st, rho_ref[0, 0], i, jy, Bz, By, r, ry,
-            (wny_ref[:], wty_ref[:], nx_ref[:], tx_ref[:]), precision)
+            (wny_ref[:], wty_ref[:], nx_ref[:], tx_ref[:]), precision,
+            lap_precision=lap_prec)
         out_ref[:] = q.astype(io_dtype)
 
     const = lambda shp: pl.BlockSpec(shp, lambda i, j: (0,) * len(shp),
@@ -912,6 +925,8 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
     """
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
     io_dtype = dtype if io_dtype is None else jnp.dtype(io_dtype)
+    lap_prec = ("high2" if (io_dtype == jnp.bfloat16
+                            and precision == "high3") else None)
     # Working set: 2 halo-extended inputs (r, p) × n_buf DMA slots + the
     # materialized p' slab + pipelined q out (2) + ~4 compute temporaries.
     # 512³ picks (block=8, n_buf=1); oversized planes (e.g. 1024² cuts)
@@ -955,7 +970,8 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
         get = lambda s0, n: pn_ext[pl.ds(s0, n)].astype(dtype)
         q, pn_center = _normal_center(
             get, st, rho, i, block,
-            (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision)
+            (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision,
+            lap_precision=lap_prec)
         q_ref[:] = q.astype(io_dtype)
         # per-block partial dot; (1, 8, 128) broadcast satisfies the
         # Mosaic (8, 128) minor-dims tiling rule for blocked outputs

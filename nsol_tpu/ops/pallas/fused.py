@@ -81,6 +81,15 @@ def _minor_matmul(u, C, axis, ndim, precision=lax.Precision.HIGHEST):
         return (_minor_matmul(u_hi, C_hi, axis, ndim, d)
                 + _minor_matmul(u_hi, C - C_hi, axis, ndim, d)
                 + _minor_matmul(u - u_hi, C_hi, axis, ndim, d))
+    if precision == "high2":
+        # caller guarantees ``u`` is EXACT in bfloat16 (compact-state
+        # slab values upcast to f32): high3's third pass
+        # ``(u − u_hi)·C_hi`` is identically zero — two DEFAULT passes
+        # at the same accuracy as high3 on these operands
+        C_hi = C.astype(jnp.bfloat16).astype(C.dtype)
+        d = lax.Precision.DEFAULT
+        return (_minor_matmul(u, C_hi, axis, ndim, d)
+                + _minor_matmul(u, C - C_hi, axis, ndim, d))
     kw = dict(preferred_element_type=u.dtype, precision=precision)
     if axis == ndim - 1:
         return lax.dot_general(u, C, (((ndim - 1,), (1,)), ((), ())), **kw)
@@ -204,15 +213,20 @@ def _banded_window_matmul(u, W, axis, ndim, precision):
     kw = dict(preferred_element_type=u.dtype, precision=precision)
 
     def win_dot(win):
-        if precision == "high3":
+        if precision in ("high3", "high2"):
             w_hi = W.astype(jnp.bfloat16).astype(W.dtype)
             u_hi = win.astype(jnp.bfloat16).astype(win.dtype)
             d = lax.Precision.DEFAULT
             kw3 = dict(preferred_element_type=u.dtype, precision=d)
             dims = (((ndim - 1,), (0,)), ((), ()))
-            return (lax.dot_general(u_hi, w_hi, dims, **kw3)
-                    + lax.dot_general(u_hi, W - w_hi, dims, **kw3)
-                    + lax.dot_general(win - u_hi, w_hi, dims, **kw3))
+            out = (lax.dot_general(u_hi, w_hi, dims, **kw3)
+                   + lax.dot_general(u_hi, W - w_hi, dims, **kw3))
+            if precision == "high3":
+                # "high2": the caller guarantees win is bf16-exact, so
+                # this third pass is identically zero
+                out = out + lax.dot_general(win - u_hi, w_hi, dims,
+                                            **kw3)
+            return out
         return lax.dot_general(win, W, (((ndim - 1,), (0,)), ((), ())),
                                **kw)
 
