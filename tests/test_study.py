@@ -469,3 +469,45 @@ def test_append_resume_vmapped_runs_only_missing(tmp_path, rng):
     np.testing.assert_allclose(
         sorted(float(a) for a in reader.get_parameters()["alpha"]),
         [0.1, 0.3, 0.5, 0.9])
+
+
+def test_study_data_loss_sweep_with_auto_minimizer(tmp_path, rng):
+    """A data_loss-sweeping Tikhonov study with minimizer='auto' and the
+    blur hint re-resolves per group (linear -> cg, huber -> irls) through
+    the hybrid sweep path and persists sane artifacts."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.ops import conv as C
+    from nsol_tpu.solvers.wrappers import TikhonovLinearSolver
+    from nsol_tpu.study.engine import TikhonovLinearSolverParameterStudy
+
+    shape = (12, 12)
+    cov = np.diag([0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    b = ndi.convolve(rng.rand(*shape), kern, mode="wrap")
+    Aj, Aj_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                       method="fft")
+    ident = lambda x: x
+    solver = TikhonovLinearSolver(
+        A=Aj, A_adj=Aj_adj, b=b, B=ident, B_adj=ident, x0=np.array(b),
+        minimizer="auto", iter_max=4, blur_cov=cov, reg_kind="TK0")
+    assert solver._resolved_minimizer() == "cg"
+    solver.set_data_loss("huber")
+    assert solver._resolved_minimizer() == "irls"
+    solver.set_data_loss("linear")
+
+    obs = Observer()
+    obs.set_measures({"Data": lambda x: 0.5 * jnp.sum(
+        (x - jnp.asarray(b)) ** 2)})
+    out = str(tmp_path / "auto")
+    study = TikhonovLinearSolverParameterStudy(
+        solver=solver, observer=obs, dir_output=out, name="auto",
+        parameters={"alpha": [0.01, 0.05],
+                    "data_loss": ["linear", "huber"]})
+    study.run()
+
+    reader = ReaderParameterStudy(directory=out, name="auto")
+    reader.read_study()
+    res = reader.get_results("Data")
+    assert res.shape[0] == 4 and np.isfinite(res).all()
