@@ -1028,7 +1028,7 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
 def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
                           block=None, dtype=jnp.float32,
                           precision=lax.Precision.HIGHEST,
-                          interpret=False, n_buf=None):
+                          interpret=False, n_buf=None, io_dtype=None):
     """Build the FULLY fused CG sweep: one streaming pass per CG iteration
     that touches HBM exactly once per array.
 
@@ -1059,12 +1059,16 @@ def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
     of nsol/tikhonov_linear_solver.py:146-158.
     """
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
+    io_dtype = dtype if io_dtype is None else jnp.dtype(io_dtype)
+    lap_prec = ("high2" if (io_dtype == jnp.bfloat16
+                            and precision == "high3") else None)
     # 3 halo-extended inputs (r, q, p) + p' slab + x in (2) + x'/r'/q'
     # pipelined outs (6) + ~4 temporaries. 256³ picks (16, 2); 512-wide
     # planes do NOT fit (use make_blocked_cg_step there).
     n_buf_override = n_buf
     block, n_buf = _pick_layout(shape, st.halo, dtype, n_ext=3,
-                                n_io=4, block=block)
+                                n_io=4, block=block,
+                                slab_dtype=io_dtype)
     if n_buf_override is not None:
         n_buf = n_buf_override
     if block is None:
@@ -1086,22 +1090,27 @@ def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
             [(r_hbm, ext_r, sem_r), (q_hbm, ext_q, sem_q),
              (p_hbm, ext_p, sem_p)], i, nblk, Z, block, r_h, n_buf)
         # deferred residual update + direction update in one fused pass
-        # over the extended slabs, materialized once (512³ spill fix)
-        pn_ext[...] = (ext_r[slot] - a_prev * ext_q[slot]
-                       + beta * ext_p[slot])
+        # over the extended slabs, materialized once (512³ spill fix);
+        # compact mode computes in f32 and stores io_dtype
+        pn_ext[...] = (ext_r[slot].astype(dtype)
+                       - a_prev * ext_q[slot].astype(dtype)
+                       + beta * ext_p[slot].astype(dtype)).astype(io_dtype)
         out_dma = pltpu.make_async_copy(
             pn_ext.at[pl.ds(r_h, block)],
             pn_hbm.at[pl.ds(i * block, block)], sem_out)
         out_dma.start()  # overlaps the whole M-apply below
-        get = lambda s0, n: pn_ext[pl.ds(s0, n)]
+        get = lambda s0, n: pn_ext[pl.ds(s0, n)].astype(dtype)
         qn, pn_center = _normal_center(
             get, st, rho, i, block,
-            (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision)
-        r_center = (ext_r[slot, pl.ds(r_h, block)]
-                    - a_prev * ext_q[slot, pl.ds(r_h, block)])
-        xo_ref[:] = x_ref[:] + a_prev * ext_p[slot, pl.ds(r_h, block)]
-        ro_ref[:] = r_center
-        qo_ref[:] = qn
+            (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision,
+            lap_precision=lap_prec)
+        r_center = (ext_r[slot, pl.ds(r_h, block)].astype(dtype)
+                    - a_prev
+                    * ext_q[slot, pl.ds(r_h, block)].astype(dtype))
+        xo_ref[:] = x_ref[:] + a_prev \
+            * ext_p[slot, pl.ds(r_h, block)].astype(dtype)
+        ro_ref[:] = r_center.astype(io_dtype)
+        qo_ref[:] = qn.astype(io_dtype)
         # 4 partial dots packed into one (1, 32, 128) block — each scalar
         # broadcast over an (8, 128) tile (Mosaic minor-dims tiling rule)
         dots_ref[0] = jnp.concatenate(
@@ -1134,16 +1143,16 @@ def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
         ],
         out_shape=[
             jax.ShapeDtypeStruct(shape, dtype),
-            jax.ShapeDtypeStruct(shape, dtype),
-            jax.ShapeDtypeStruct(shape, dtype),
-            jax.ShapeDtypeStruct(shape, dtype),
+            jax.ShapeDtypeStruct(shape, io_dtype),
+            jax.ShapeDtypeStruct(shape, io_dtype),
+            jax.ShapeDtypeStruct(shape, io_dtype),
             jax.ShapeDtypeStruct((nblk, 32, 128), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), dtype),
-            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), dtype),
-            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), dtype),
-            pltpu.VMEM((block + 2 * r_h, Y, X), dtype),
+            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), io_dtype),
+            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), io_dtype),
+            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), io_dtype),
+            pltpu.VMEM((block + 2 * r_h, Y, X), io_dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((n_buf,)),
@@ -1158,8 +1167,8 @@ def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
         sc = jnp.stack([jnp.asarray(a, dtype), jnp.asarray(beta, dtype),
                         jnp.asarray(rho, dtype)]).reshape(1, 3)
         xo, ro, qo, pn, dots = call(
-            sc, st.Ny, st.Nx, st.Ty, st.Tx, jnp.asarray(r, dtype),
-            jnp.asarray(q, dtype), jnp.asarray(p, dtype),
+            sc, st.Ny, st.Nx, st.Ty, st.Tx, jnp.asarray(r, io_dtype),
+            jnp.asarray(q, io_dtype), jnp.asarray(p, io_dtype),
             jnp.asarray(x, dtype))
         g = jnp.sum(dots[:, 0, 0])
         pq = jnp.sum(dots[:, 8, 0])
@@ -1237,12 +1246,10 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             # simpler formulation; "step2d" stays available explicitly.
             mode = "apply"
     if mode == "sweep":
-        if io != dtype:
-            raise ValueError("state_dtype is not supported for "
-                             "mode='sweep'")
         cg_sweep = make_blocked_cg_sweep(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
-            dtype=dtype, precision=precision, interpret=interpret)
+            dtype=dtype, precision=precision, interpret=interpret,
+            io_dtype=io)
     elif mode == "step":
         cg_step = make_blocked_cg_step(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
@@ -1319,8 +1326,10 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             # fully fused: sweep k applies iteration k AND performs
             # iteration k−1's deferred updates; between sweeps only the
             # scalar recurrence runs (a from the exact in-kernel ‖r‖²,
-            # β from the pipelined-CG γ identity)
-            zero = jnp.zeros_like(x)
+            # β from the pipelined-CG γ identity). Compact mode carries
+            # r/p/q in ``io``; x stays f32.
+            r = to_io(r)
+            zero = jnp.zeros_like(r)
             sc0 = jnp.asarray(0.0, dtype)
 
             def cg_iter(c, _):
@@ -1337,7 +1346,8 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             (x, r, p, q, a, beta), _ = lax.scan(
                 cg_iter, (x, r, zero, zero, sc0, sc0), None,
                 length=iter_max)
-            return x + a * p  # the last iteration's still-owed update
+            # the last iteration's still-owed update
+            return x + a * to_f(p)
 
         def cg_apply_mode(x, r):
             # plain CG (solvers/cg.py semantics) around the blocked
