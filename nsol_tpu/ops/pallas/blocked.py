@@ -933,9 +933,21 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
     # raise the construction-time ValueError callers already handle
     # instead of a Mosaic compile failure deep inside the first jit.
     n_buf_override = n_buf
+    block_req = block
     block, n_buf = _pick_layout(shape, st.halo, dtype, n_ext=2,
                                 n_io=1, block=block,
                                 slab_dtype=io_dtype)
+    if block_req is None and block is not None and block > 16:
+        # measured preference (256³ compact probe, 2026-08-21): z-block
+        # 16 beats 32 at every prefetch depth (57.0 vs 54.0 it/s at
+        # n_buf=2) — the finer grid interleaves DMA with compute better
+        # than the lower halo amplification of bigger blocks, the same
+        # direction as round 3's (16, dbl) > (32, single) finding. The
+        # larger fitting block is only taken when 16 does not fit.
+        b16, nb16 = _pick_layout(shape, st.halo, dtype, n_ext=2,
+                                 n_io=1, block=16, slab_dtype=io_dtype)
+        if b16 is not None:
+            block, n_buf = b16, nb16
     if n_buf_override is not None:
         n_buf = n_buf_override
     if block is None:

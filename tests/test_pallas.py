@@ -1118,3 +1118,36 @@ def test_blocked_prepadded_window_semantics(rng):
         outs.append(np.asarray(ap2(v[idx], 0.7, lo)))
     np.testing.assert_allclose(np.concatenate(outs, axis=0), want,
                                atol=2e-5, rtol=1e-5)
+
+
+def test_blocked_sweep_compact_state(rng):
+    """Compact bf16 state through the fully-fused sweep formulation
+    matches the f32 step path inside the objective band."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops.conv import make_blur_operators
+    from nsol_tpu.ops.pallas.blocked import blocked_admm_solve
+
+    shape = (32, 16, 16)
+    cov = np.diag([1.0] * 3)
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = ndi.convolve(x_true, kern, mode="wrap").astype(np.float32)
+    A, _ = make_blur_operators(cov, alpha_cut=3, shape=shape,
+                               dtype=np.float32)
+    Bg, _ = G.make_gradient_operators()
+
+    def objective(x):
+        r = np.asarray(A(jnp.asarray(x))) - b
+        g = np.asarray(Bg(jnp.asarray(x)))
+        return (0.5 * np.sum(r * r)
+                + 0.01 * np.sum(np.sqrt(np.sum(g * g, axis=0))))
+
+    o_ref = objective(np.asarray(blocked_admm_solve(
+        shape, cov, iterations=6, iter_max=6, interpret=True,
+        mode="step")(b, b, 0.01, 0.5)))
+    o_swp = objective(np.asarray(blocked_admm_solve(
+        shape, cov, iterations=6, iter_max=6, interpret=True,
+        mode="sweep", state_dtype=jnp.bfloat16)(b, b, 0.01, 0.5)))
+    assert abs(o_swp - o_ref) / abs(o_ref) < 1e-3
