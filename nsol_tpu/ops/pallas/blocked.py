@@ -768,29 +768,38 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
 
 
 def pick_zy_blocks(shape, halo, dtype=jnp.float32, n_ext=1,
-                   budget_bytes=_LAYOUT_BUDGET_BYTES, halo_y=None):
+                   budget_bytes=_LAYOUT_BUDGET_BYTES, halo_y=None,
+                   slab_dtype=None):
     """(z_block, y_block) for the 2-D blocked kernels, or (None, None).
     Only worthwhile for >= 512-wide y (below that the 1-D z-blocking has
     less halo overhead); working set = ``n_ext`` double-buffered 2-D
     slabs (+ one materialized p' slab when ``n_ext > 1``) + 2 output
     windows + ~6 block temporaries. ``halo_y`` is the y-axis band
     half-width when it differs from the z ``halo`` (anisotropic
-    covariance)."""
+    covariance). ``slab_dtype`` = the DMA'd slab dtype (compact-state
+    bf16): bf16 slabs prefer Bz=16 (512³ probes 2026-08-21: 6.14 vs
+    5.89 it/s at 32, reproduced 6.1 end-to-end) — finer pipeline
+    granularity wins. f32 keeps the 32-first order: its Bz=8 probe was
+    not reproducible (4.98 one session, 1.8 the next — tunnel-state
+    sensitive), so the stable measured default stands."""
     Z, Y, X = shape
     if Y < 512 or Y % 128:
         return None, None
     ry = -((-max(halo_y if halo_y is not None else halo, 1)) // 8) * 8
     row = X * jnp.dtype(dtype).itemsize
-    for Bz in (32, 16, 8):
+    slab_row = X * jnp.dtype(slab_dtype or dtype).itemsize
+    order = ((16, 32, 8) if jnp.dtype(slab_dtype or dtype).itemsize < 4
+             else (32, 16, 8))
+    for Bz in order:
         if Z % Bz or Z // Bz < 2 or Bz < halo:
             continue
         By = 128
         if By < ry or Y // By < 2:
             continue
         slabs = 2 * n_ext + (1 if n_ext > 1 else 0)
-        planes = slabs * (Bz + 2 * halo) * (By + 2 * ry) \
-            + (2 * 2 + 6) * Bz * By
-        if planes * row <= budget_bytes:
+        nbytes = slabs * (Bz + 2 * halo) * (By + 2 * ry) * slab_row \
+            + (2 * 2 + 6) * Bz * By * row
+        if nbytes <= budget_bytes:
             return Bz, By
     return None, None
 
@@ -1281,7 +1290,8 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
     # the r0/apply operator: prefer the 2-D (z, y)-blocked kernel for
     # >= 512-wide y (lower halo amplification + window-width y
     # contraction: 4.8 vs 4.6 it/s at 512-cubed, same session)
-    zb, yb = pick_zy_blocks(shape, st.halo, dtype, halo_y=st.halo_y)
+    zb, yb = pick_zy_blocks(shape, st.halo, dtype, halo_y=st.halo_y,
+                            slab_dtype=io)
     if zb is not None and block is None:
         apply_M = make_blocked_normal_operator_2d(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, z_block=zb,
