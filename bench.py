@@ -76,7 +76,10 @@ def main():
     # 2026-08-20) — with precision="high3" minor-axis matmuls (3-pass
     # split-bf16 emulated-HIGH: 3272 vs 2809 it/s same-session on
     # 2026-08-21, objective 212554.56 vs 212557.79 — both in the 0.1 %
-    # band vs the CPU reference 212334.64, benchmarks/fused_exp.py).
+    # band vs the CPU reference 212334.64, benchmarks/fused_exp.py) and
+    # compact_dirs (round-4: CG directions rounded bf16-exact → the
+    # Laplacian matmuls drop to 2 passes; 4797 vs 3723 it/s same-session,
+    # objective 212554.82 vs .56 — a 1e-6 shift, voxel dev 1.5e-05).
     # Fallback: MXU circulant-matmul operators + fused normal-equation CG
     # under jit.
     from nsol_tpu.ops.pallas.fused import (
@@ -88,7 +91,7 @@ def main():
             try:
                 fused = make_fused_admm_solver(
                     shape, cov, iterations=ITERATIONS, iter_max=ITER_MAX,
-                    dtype=dtype, precision="high3")
+                    dtype=dtype, precision="high3", compact_dirs=True)
                 import jax as _jax
 
                 f = _jax.jit(fused)

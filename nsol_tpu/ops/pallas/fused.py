@@ -289,16 +289,28 @@ def _lap_axis0_stencil(u, inv_h2):
     return t * inv_h2
 
 
-def _cg_inkernel(apply_M, rhs, x0, iters):
+def _cg_inkernel(apply_M, rhs, x0, iters, apply_dir=None,
+                 round_dir=None):
     """Fixed-trip CG mirroring solvers/cg.py::cg — same zero-guards, so
-    the fused kernels match the XLA paths step for step."""
+    the fused kernels match the XLA paths step for step.
+
+    ``round_dir`` (compact-directions mode): rounds each search
+    direction to bfloat16-exact values before the SPD apply, enabling
+    ``apply_dir`` to run its Laplacian matmuls at "high2" (one fewer MXU
+    pass at identical accuracy on the rounded operand); x/r/reductions
+    stay f32. CG is self-correcting on the rounded directions (same
+    argument as the blocked compact state)."""
+    if round_dir is None:
+        round_dir = lambda u: u
+    if apply_dir is None:
+        apply_dir = apply_M
     r = rhs - apply_M(x0)
     gamma = jnp.sum(r * r)
-    p = r
+    p = round_dir(r)
 
     def body(_, c):
         x, r, p, gamma = c
-        q = apply_M(p)
+        q = apply_dir(p)
         pq = jnp.sum(p * q)
         a = jnp.where(pq > 0, gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
         x = x + a * p
@@ -306,7 +318,7 @@ def _cg_inkernel(apply_M, rhs, x0, iters):
         gamma_new = jnp.sum(r * r)
         beta = jnp.where(gamma > 0,
                          gamma_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
-        p = r + beta * p
+        p = round_dir(r + beta * p)
         return (x, r, p, gamma_new)
 
     x, _, _, _ = lax.fori_loop(0, iters, body, (x0, r, p, gamma))
@@ -317,7 +329,8 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
                            iterations=10, iter_max=10, dtype=jnp.float32,
                            precision=lax.Precision.HIGHEST,
                            data_loss="linear", irls_cg_iters=8,
-                           record=False, interpret=False):
+                           record=False, interpret=False,
+                           compact_dirs=False):
     """Build ``solve(b, x0, alpha, rho) -> x`` as one Pallas program.
 
     ``record=True``: the kernel also records the deconvolution study's
@@ -392,12 +405,22 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
             u = _minor_matmul(u, C, n_stencil + k, ndim, precision)
         return u
 
-    def lap(u, T_m):
+    # compact-directions mode (opt-in, linear CG path): round each CG
+    # search direction to bf16-exact values so the Laplacian matmuls
+    # (which act on the direction DIRECTLY) drop high3's third pass at
+    # identical accuracy — the same "high2" lever as the blocked compact
+    # state. The blur matmuls can't (their operand is the z-tap
+    # accumulation, not bf16-exact).
+    if compact_dirs and precision != "high3":
+        raise ValueError("compact_dirs requires precision='high3'")
+    lap_dir_prec = "high2" if compact_dirs else precision
+
+    def lap(u, T_m, prec=precision):
         out = None
         if n_stencil:
             out = _lap_axis0_stencil(u, lap0_inv_h2)
         for k, T in enumerate(T_m):
-            t = _minor_matmul(u, T, n_stencil + k, ndim, precision)
+            t = _minor_matmul(u, T, n_stencil + k, ndim, prec)
             out = t if out is None else out + t
         return out
 
@@ -437,6 +460,14 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
 
         def apply_M(u):
             return conv_all(u, N_taps, N_m) + rho * lap(u, T_m)
+
+        def apply_M_dir(u):
+            # u is a bf16-exact rounded direction in compact_dirs mode
+            return conv_all(u, N_taps, N_m) \
+                + rho * lap(u, T_m, lap_dir_prec)
+
+        round_dir = ((lambda u: u.astype(jnp.bfloat16).astype(dtype))
+                     if compact_dirs else None)
 
         # A symmetric: Aᵀb = Ab (loop-invariant for the linear CG path)
         At_b = None if robust else conv_all(b, A_taps, A_m)
@@ -489,7 +520,9 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
             else:
                 rhs = At_b + rho * div_acc(
                     tuple(v[i] - w[i] for i in range(ndim)))
-                x = _cg_inkernel(apply_M, rhs, x, iter_max)
+                x = _cg_inkernel(apply_M, rhs, x, iter_max,
+                                 apply_dir=apply_M_dir,
+                                 round_dir=round_dir)
                 x = jnp.maximum(x, 0.0)  # reference bounds (0, ∞)
 
             if record:

@@ -1151,3 +1151,31 @@ def test_blocked_sweep_compact_state(rng):
         shape, cov, iterations=6, iter_max=6, interpret=True,
         mode="sweep", state_dtype=jnp.bfloat16)(b, b, 0.01, 0.5)))
     assert abs(o_swp - o_ref) / abs(o_ref) < 1e-3
+
+
+def test_fused_admm_compact_dirs(rng):
+    """compact_dirs (bf16-exact CG directions + high2 Laplacian passes)
+    stays in f32-noise range of the plain high3 kernel."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.ops.pallas.fused import make_fused_admm_solver
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0] * 3)
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    b = ndi.convolve((rng.rand(*shape) > 0.6).astype(np.float32), kern,
+                     mode="wrap").astype(np.float32)
+    xs = {}
+    for tag, kw in (("plain", {}), ("cd", dict(compact_dirs=True))):
+        solve = make_fused_admm_solver(shape, cov, iterations=10,
+                                       iter_max=8, precision="high3",
+                                       interpret=True, **kw)
+        xs[tag] = np.asarray(solve(b, b, 0.01, 0.5))
+    dev = np.abs(xs["cd"] - xs["plain"]).max() \
+        / max(1.0, np.abs(xs["plain"]).max())
+    assert dev < 5e-4, dev  # f32-noise class (vs the ~1% blocked-compact)
+
+    with np.testing.assert_raises(ValueError):
+        make_fused_admm_solver(shape, cov, compact_dirs=True,
+                               interpret=True)  # requires high3
