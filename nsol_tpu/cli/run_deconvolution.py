@@ -139,11 +139,22 @@ def main():
         a0 = jnp.asarray(float(alphas[0]), bj.dtype)
         if (on_accel and dimension in (2, 3) and not force_blocked
                 and _fused.fused_admm_fits_vmem(observed_nda.shape)):
+            # single-solve CLI runs are latency-bound — exactly the
+            # regime where high3 + compact_dirs wins (+29 % measured on
+            # the 64³ north-star, round 4) at f32-noise-class deviation
+            # (voxel dev 1.5e-05, objective shift 0.0015 % — far inside
+            # the 0.1 % parity band). NSOL_TPU_EXACT=1 restores the
+            # HIGHEST-precision kernel (bit-class parity with the XLA
+            # path).
+            exact = bool(os.environ.get("NSOL_TPU_EXACT"))
+            fast_kw = ({} if exact or args.data_loss != "linear"
+                       else {"precision": "high3", "compact_dirs": True})
             fused_admm = _fused.make_fused_admm_solver(
                 observed_nda.shape, cov, spacing=spacing,
                 iterations=args.iterations, iter_max=args.iter_max,
                 data_loss=args.data_loss,
-                irls_cg_iters=args.irls_cg_iters, interpret=interp)
+                irls_cg_iters=args.irls_cg_iters, interpret=interp,
+                **fast_kw)
             fused_jit = jit_closed(
                 lambda x0, a: fused_admm(bj, x0, a, rho0, dls0),
                 (bj, a0))
