@@ -128,12 +128,25 @@ def main():
     x = step(b)
     np.asarray(x)  # forces compile + first execution
 
+    # --trace DIR: capture a jax.profiler device trace of the timed
+    # chain (profiling.py; view in TensorBoard/Perfetto)
+    import contextlib
+
+    trace_dir = None
+    if "--trace" in sys.argv:
+        trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+    from nsol_tpu import profiling
+
+    tracer = (profiling.trace(trace_dir) if trace_dir
+              else contextlib.nullcontext())
+
     n_chain = 10
     t0 = time.perf_counter()
-    xi = b
-    for _ in range(n_chain):
-        xi = step(xi)
-    np.asarray(xi)
+    with tracer:
+        xi = b
+        for _ in range(n_chain):
+            xi = step(xi)
+        np.asarray(xi)
     elapsed = (time.perf_counter() - t0) / n_chain
     iters_per_sec = ITERATIONS / elapsed
     x = step(b)

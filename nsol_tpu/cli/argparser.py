@@ -225,6 +225,11 @@ class InputArgparser(object):
         self._add("--verbose", type=int, default=default,
                   help="1 = chatty progress output, 0 = quiet.")
 
+    def add_trace(self, default=None):
+        self._add("--trace", type=str, default=default,
+                  help="Directory for a jax.profiler device trace of the "
+                       "reconstruction (view in TensorBoard/Perfetto).")
+
     def add_option(self, option_string="--option", nargs=None, type=float,
                    default=None, required=False, help="Extra option."):
         self._add(option_string, nargs=nargs, type=type, default=default,

@@ -43,6 +43,7 @@ def main():
     input_parser.add_irls_cg_iters(default=8)
     input_parser.add_dir_output_figures(default=None)
     input_parser.add_verbose(default=0)
+    input_parser.add_trace(default=None)
     args = input_parser.parse_args()
     input_parser.print_arguments(args)
 
@@ -185,23 +186,33 @@ def main():
             except ValueError:
                 fused_jit = None
 
+    # --trace DIR: capture a jax.profiler device trace of the whole
+    # reconstruction loop (SURVEY §5 tracing/profiling; profiling.py)
+    import contextlib
+
+    from nsol_tpu import profiling
+
+    tracer = (profiling.trace(args.trace) if args.trace
+              else contextlib.nullcontext())
+
     if fused_jit is not None:
         recons = []
-        for i, alpha in enumerate(alphas):
-            import jax.numpy as jnp
+        with tracer:
+            for i, alpha in enumerate(alphas):
+                import jax.numpy as jnp
 
-            ph.print_subtitle("Iteration %d/%d" % (i + 1, len(alphas)))
-            tm = ph.start_timing()
-            bj = jnp.asarray(b / x_scale, jnp.float32)
-            recon = np.asarray(
-                fused_jit(bj, jnp.asarray(float(alpha), bj.dtype)))
-            recon = recon * x_scale
-            recons.append(recon)
-            print("\nComputational time %s: %s"
-                  % (args.reconstruction_type, ph.stop_timing(tm)))
-            if args.result is not None:
-                DataWriter(recon, args.result,
-                           data_reader.get_image_nifti()).write_data()
+                ph.print_subtitle("Iteration %d/%d" % (i + 1, len(alphas)))
+                tm = ph.start_timing()
+                bj = jnp.asarray(b / x_scale, jnp.float32)
+                recon = np.asarray(
+                    fused_jit(bj, jnp.asarray(float(alpha), bj.dtype)))
+                recon = recon * x_scale
+                recons.append(recon)
+                print("\nComputational time %s: %s"
+                      % (args.reconstruction_type, ph.stop_timing(tm)))
+                if args.result is not None:
+                    DataWriter(recon, args.result,
+                               data_reader.get_image_nifti()).write_data()
         if args.verbose and args.dir_output_figures is not None:
             _save_figures(args, observed_nda, recons, alphas, [], {})
         return 0
@@ -224,24 +235,26 @@ def main():
     # -------------------------- Run reconstruction -------------------------
     recons = []
     observers = []
-    for i, alpha in enumerate(alphas):
-        ph.print_subtitle("Iteration %d/%d" % (i + 1, len(alphas)))
-        solver.set_alpha(alpha)
+    with tracer:
+        for i, alpha in enumerate(alphas):
+            ph.print_subtitle("Iteration %d/%d" % (i + 1, len(alphas)))
+            solver.set_alpha(alpha)
 
-        observer = Observer()
-        observer.set_measures(measures_dic)
-        solver.set_observer(observer)
-        observers.append(observer)
+            observer = Observer()
+            observer.set_measures(measures_dic)
+            solver.set_observer(observer)
+            observers.append(observer)
 
-        solver.run()
-        recon = solver.get_x()
-        recons.append(recon)
-        print("\nComputational time %s: %s"
-              % (args.reconstruction_type, solver.get_computational_time()))
+            solver.run()
+            recon = solver.get_x()
+            recons.append(recon)
+            print("\nComputational time %s: %s"
+                  % (args.reconstruction_type,
+                     solver.get_computational_time()))
 
-        if args.result is not None:
-            DataWriter(recon, args.result,
-                       data_reader.get_image_nifti()).write_data()
+            if args.result is not None:
+                DataWriter(recon, args.result,
+                           data_reader.get_image_nifti()).write_data()
 
     if args.verbose and args.dir_output_figures is not None:
         _save_figures(args, observed_nda, recons, alphas, observers,

@@ -39,6 +39,7 @@ def main():
     input_parser.add_alpha(default=[0.03])
     input_parser.add_dir_output_figures(default=None)
     input_parser.add_verbose(default=0)
+    input_parser.add_trace(default=None)
     args = input_parser.parse_args()
     input_parser.print_arguments(args)
 
@@ -102,64 +103,74 @@ def main():
             fused_jit = jit_closed(
                 lambda x0, a: fused_pd(bj, x0, a, L2), (bj, a0))
 
+    # --trace DIR: capture a jax.profiler device trace of the whole
+    # reconstruction loop (SURVEY §5 tracing/profiling; profiling.py)
+    import contextlib
+
+    from nsol_tpu import profiling
+
+    tracer = (profiling.trace(args.trace) if args.trace
+              else contextlib.nullcontext())
+
     recons = []
     observers = []
-    for alpha in alphas:
-        if fused_jit is not None:
-            tm = ph.start_timing()
-            recon = np.asarray(
-                fused_jit(bj, jnp.asarray(float(alpha), bj.dtype)))
-            recon = recon * x_scale
-            observers.append(None)
+    with tracer:
+        for alpha in alphas:
+            if fused_jit is not None:
+                tm = ph.start_timing()
+                recon = np.asarray(
+                    fused_jit(bj, jnp.asarray(float(alpha), bj.dtype)))
+                recon = recon * x_scale
+                observers.append(None)
+                recons.append(recon)
+                if args.verbose:
+                    ph.print_info("Required computational time: %s"
+                                  % ph.stop_timing(tm))
+                if args.result is not None:
+                    DataWriter(recon, args.result,
+                               data_reader.get_image_nifti()).write_data()
+                continue
+            if args.solver == "PD":
+                solver = PrimalDualSolver(
+                    prox_f=prox_f, prox_g_conj=prox_g_conj,
+                    B=grad_op, B_conj=grad_adj,
+                    L2=8,  # reference quirk: 8 even in 3-D (run_denoising.py:147)
+                    x0=np.array(observed_nda), alpha=alpha,
+                    iterations=args.iterations, x_scale=x_scale,
+                    verbose=args.verbose)
+            elif args.solver == "ADMM":
+                if rtype != "TVL2":
+                    raise ValueError("ADMM denoising supports TVL2 only")
+                ident = lambda z: z
+                solver = ADMMLinearSolver(
+                    A=ident, A_adj=ident, b=np.array(observed_nda),
+                    B=grad_op, B_adj=grad_adj, x0=np.array(observed_nda),
+                    dimension=dimension, alpha=alpha, rho=args.rho,
+                    iterations=args.iterations, x_scale=x_scale,
+                    verbose=args.verbose)
+            else:
+                raise ValueError("Solver '%s' not known" % args.solver)
+
+            observer = None
+            if x_ref is not None and args.measures:
+                measures_dic = {
+                    m: (lambda x, m=m: sim.SIMILARITY_MEASURES[m](x, x_ref))
+                    for m in args.measures}
+                observer = Observer()
+                observer.set_measures(measures_dic)
+                solver.set_observer(observer)
+            observers.append(observer)
+
+            solver.run()
+            recon = solver.get_x()
             recons.append(recon)
             if args.verbose:
                 ph.print_info("Required computational time: %s"
-                              % ph.stop_timing(tm))
+                              % solver.get_computational_time())
+
             if args.result is not None:
                 DataWriter(recon, args.result,
                            data_reader.get_image_nifti()).write_data()
-            continue
-        if args.solver == "PD":
-            solver = PrimalDualSolver(
-                prox_f=prox_f, prox_g_conj=prox_g_conj,
-                B=grad_op, B_conj=grad_adj,
-                L2=8,  # reference quirk: 8 even in 3-D (run_denoising.py:147)
-                x0=np.array(observed_nda), alpha=alpha,
-                iterations=args.iterations, x_scale=x_scale,
-                verbose=args.verbose)
-        elif args.solver == "ADMM":
-            if rtype != "TVL2":
-                raise ValueError("ADMM denoising supports TVL2 only")
-            ident = lambda z: z
-            solver = ADMMLinearSolver(
-                A=ident, A_adj=ident, b=np.array(observed_nda),
-                B=grad_op, B_adj=grad_adj, x0=np.array(observed_nda),
-                dimension=dimension, alpha=alpha, rho=args.rho,
-                iterations=args.iterations, x_scale=x_scale,
-                verbose=args.verbose)
-        else:
-            raise ValueError("Solver '%s' not known" % args.solver)
-
-        observer = None
-        if x_ref is not None and args.measures:
-            measures_dic = {
-                m: (lambda x, m=m: sim.SIMILARITY_MEASURES[m](x, x_ref))
-                for m in args.measures}
-            observer = Observer()
-            observer.set_measures(measures_dic)
-            solver.set_observer(observer)
-        observers.append(observer)
-
-        solver.run()
-        recon = solver.get_x()
-        recons.append(recon)
-        if args.verbose:
-            ph.print_info("Required computational time: %s"
-                          % solver.get_computational_time())
-
-        if args.result is not None:
-            DataWriter(recon, args.result,
-                       data_reader.get_image_nifti()).write_data()
 
     # --------------------------- Visualization -----------------------------
     if args.verbose and args.dir_output_figures is not None:

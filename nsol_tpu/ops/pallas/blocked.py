@@ -477,8 +477,18 @@ def make_blocked_normal_operator_prepadded(local_shape, cov, alpha_cut=3,
                     "no z-block layout of local shape %s fits the "
                     "scoped-VMEM budget" % (local_shape,))
     else:
+        # validate the explicit block against the VMEM model instead of
+        # letting an oversized caller block surface as a Mosaic
+        # scoped-VMEM compile failure (ADVICE r4): double-buffered if it
+        # fits, single-buffered fallback, else a construction-time error
         block = int(block)
-        n_buf = 2
+        blk, n_buf = _pick_layout(local_shape, r, dtype, n_ext=1,
+                                  n_io=1, block=block)
+        if blk is None:
+            raise ValueError(
+                "explicit block %d of local shape %s does not fit the "
+                "scoped-VMEM budget even single-buffered"
+                % (block, local_shape))
     if Zl % block:
         raise ValueError("local z extent %d not divisible by block %d"
                          % (Zl, block))

@@ -1,0 +1,390 @@
+"""Streaming blocked kernels for ROBUST deconvolution past VMEM.
+
+The linear-loss scale path (ops/pallas/blocked.py) exploits the
+self-correlated normal operator: ``AᵀA`` of a separable wrap blur is one
+separable conv, so the whole SPD apply is ONE streaming pass. A robust
+data loss (huber/soft_l1/cauchy/arctan — the reference solves these at
+any size via its scipy minimize path,
+/root/reference/nsol/tikhonov_linear_solver.py:197-220, with the
+weighted gradient of /root/reference/nsol/linear_solver.py:331-340)
+breaks that trick: the IRLS weight sits BETWEEN the two blur passes,
+``M_W v = Aᵀ(w ⊙ (A v)) + ρ·DᵀD v``.
+
+The kernel here keeps it one streaming pass anyway: per z-block the
+first blur pass is evaluated on the ``block + 2·r_A`` EXTENDED rows
+(the input halo is the full normal-operator halo ``r = 2·r_A``, so the
+extended first-pass rows are exact), the weight multiplies in VMEM, and
+the second blur pass + the boundary-corrected Laplacian produce the
+center rows — 2 halo'd reads (v, w) + 1 write per application instead
+of the two-kernel formulation's 4 reads + 2 writes. The per-block MXU
+cost grows by ``(B + 2·r_A)/B`` on the first pass's minor matmuls —
+measured cheaper than the extra HBM round-trip of materializing
+``A v``.
+
+Three builders:
+
+* :func:`make_blocked_blur_operator` — streaming ``A v`` (halo
+  ``r_A``); ``with_lap=True`` adds ``+ ρ·DᵀD u`` of a second input (the
+  IRLS gradient ``∇cost = Aᵀ(w·r) + ρ·DᵀD x`` in one pass, using
+  ``A = Aᵀ`` for the symmetric Gaussian).
+* :func:`make_blocked_weighted_normal_operator` — ``M_W`` above, the
+  CG hot apply of every IRLS sweep.
+* :func:`blocked_robust_admm_solve` — the full ADMM solve for robust
+  TV-deconvolution past VMEM, mirroring
+  ``admm_solve(minimizer="irls")`` guard for guard (MM sweeps freezing
+  ``w = ρ'(r²)`` and the active box constraints, masked CG on the free
+  variables, the reference's b_reg-ignoring robust-path quirk —
+  /root/reference/nsol/tikhonov_linear_solver.py:276-280); parity is
+  pinned in tests/test_pallas.py against the XLA IRLS path.
+
+Layout/DMA machinery (wrap-halo slab copies, double buffering, VMEM
+budget model, minor-axis MXU matmuls incl. ``precision="high3"`` and
+the windowed-band forms) is shared with ops/pallas/blocked.py.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nsol_tpu.ops import losses as lf
+from nsol_tpu.ops.pallas.blocked import (
+    _Stencils, _load_ext_pipelined, _pick_layout, _conv_minor,
+    _lap_minor,
+)
+from nsol_tpu.ops.pallas.fused import banded_window_matrix
+
+__all__ = ["make_blocked_blur_operator",
+           "make_blocked_weighted_normal_operator",
+           "blocked_robust_admm_solve"]
+
+
+class _RobustStencils(_Stencils):
+    """_Stencils plus the single-blur (non-normal) operator data: z taps
+    of ``A`` itself and the per-minor-axis blur circulants."""
+
+    def __init__(self, shape, cov, alpha_cut, spacing, dtype):
+        _Stencils.__init__(self, shape, cov, alpha_cut, spacing, dtype)
+        from nsol_tpu.ops.matmul_ops import circulant_matrix
+
+        self.a_z = np.asarray(self.factors[0], self.np_dtype)
+        self.r_a = len(self.a_z) // 2
+        # the normal halo is exactly twice the blur halo (nfac = f⋆f)
+        assert self.halo == 2 * self.r_a
+        _, Y, X = shape
+        wb = lambda M: jnp.asarray(banded_window_matrix(M))
+        Ay = circulant_matrix(self.factors[1], Y, self.np_dtype)
+        Ax = circulant_matrix(self.factors[2], X, self.np_dtype)
+        self.Ay = wb(Ay) if self.banded_y else jnp.asarray(Ay)
+        self.Ax = wb(Ax) if self.banded_x else jnp.asarray(Ax)
+
+
+def _lap_center(get, st, rho, i, block, ty, tx, r, precision,
+                lap_precision=None):
+    """``ρ·DᵀD`` on a slab's ``block`` center rows — the Laplacian half
+    of blocked.py::_normal_center (zero-boundary corrections of
+    ops/grad.py:108 at the global z edges)."""
+    Z = st.shape[0]
+    center = get(r, block)
+    up = get(r + 1, block)
+    down = get(r - 1, block)
+    lz = 2.0 * center - up - down
+    rows = lax.broadcasted_iota(jnp.int32, (block, 1, 1), 0) + i * block
+    first = lax.slice_in_dim(center, 0, 1, axis=0) \
+        - lax.slice_in_dim(center, 1, 2, axis=0)
+    last = 2.0 * lax.slice_in_dim(center, block - 1, block, axis=0) \
+        - lax.slice_in_dim(center, block - 2, block - 1, axis=0)
+    lz = jnp.where(rows == 0, first, lz)
+    lz = jnp.where(rows == Z - 1, last, lz)
+    lp = precision if lap_precision is None else lap_precision
+    lap = lz * st.inv_h2_z \
+        + _lap_minor(center, ty, 1, st.banded_y, st.inv_h2_y, lp) \
+        + _lap_minor(center, tx, 2, st.banded_x, st.inv_h2_x, lp)
+    return rho * lap
+
+
+def _blur_rows(get, st, ay, ax, n_rows, precision):
+    """``A`` applied to slab rows ``[0, n_rows)`` (z taps consume the
+    ``r_a`` halo on each side, then the minor-axis circulant matmuls)."""
+    s = None
+    for t in range(2 * st.r_a + 1):
+        term = st.a_z[t] * get(t, n_rows)
+        s = term if s is None else s + term
+    s = _conv_minor(s, ay, 1, st.banded_y, precision)
+    return _conv_minor(s, ax, 2, st.banded_x, precision)
+
+
+def make_blocked_blur_operator(shape, cov, alpha_cut=3, spacing=None,
+                               block=None, dtype=jnp.float32,
+                               precision=lax.Precision.HIGHEST,
+                               with_lap=False, interpret=False):
+    """Streaming z-blocked ``A v`` (separable wrap Gaussian blur) — and,
+    with ``with_lap=True``, ``apply(y, u, rho) -> A y + rho·DᵀD u``:
+    since the symmetric Gaussian has ``A = Aᵀ``, that second form IS the
+    IRLS cost gradient ``Aᵀ(w·r) + ρ·DᵀD x`` when called with
+    ``y = w·r, u = x`` (/root/reference/nsol/linear_solver.py:331-340).
+
+    Semantics match ops/conv.py's separable wrap blur and
+    ops/grad.py::gradient_normal exactly; halos are the BLUR half-width
+    ``r_a`` (half the normal operator's)."""
+    st = _RobustStencils(shape, cov, alpha_cut, spacing, dtype)
+    r = max(st.r_a, 1)  # the lap stencil needs at least one halo row
+    n_ext = 2 if with_lap else 1
+    if block is None:
+        block, n_buf = _pick_layout(shape, r, dtype, n_ext=n_ext, n_io=1)
+        if block is None:
+            raise ValueError("no z-block layout of shape %s fits the "
+                             "scoped-VMEM budget" % (shape,))
+    else:
+        n_buf = 2
+    nblk = st.validate_block(block)
+    Z, Y, X = shape
+
+    def kernel(sc_ref, ay_ref, ax_ref, ty_ref, tx_ref, *refs):
+        if with_lap:
+            y_hbm, u_hbm, out_ref, ext_y, ext_u, sem_y, sem_u = refs
+            inputs = [(y_hbm, ext_y, sem_y), (u_hbm, ext_u, sem_u)]
+        else:
+            y_hbm, out_ref, ext_y, sem_y = refs
+            inputs = [(y_hbm, ext_y, sem_y)]
+        i = pl.program_id(0)
+        slot = _load_ext_pipelined(inputs, i, nblk, Z, block, r,
+                                   n_buf=n_buf)
+        gety = lambda s0, n: ext_y[slot, pl.ds(s0 + (r - st.r_a), n)]
+        q = _blur_rows(gety, st, ay_ref[:], ax_ref[:], block, precision)
+        if with_lap:
+            getu = lambda s0, n: ext_u[slot, pl.ds(s0, n)]
+            q = q + _lap_center(getu, st, sc_ref[0, 0], i, block,
+                                ty_ref[:], tx_ref[:], r, precision)
+        out_ref[:] = q
+
+    const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                     memory_space=pltpu.VMEM)
+    slab = lambda: pltpu.VMEM((n_buf, block + 2 * r, Y, X), dtype)
+    sem = lambda: pltpu.SemaphoreType.DMA((n_buf,))
+    scratch = ([slab(), slab(), sem(), sem()] if with_lap
+               else [slab(), sem()])
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const(st.Ay.shape), const(st.Ax.shape),
+            const(st.Ty.shape), const(st.Tx.shape),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if with_lap else []),
+        out_specs=pl.BlockSpec((block, Y, X), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    if with_lap:
+        def apply(y, u, rho):
+            rr = jnp.full((1, 1), rho, dtype)
+            return call(rr, st.Ay, st.Ax, st.Ty, st.Tx,
+                        jnp.asarray(y, dtype), jnp.asarray(u, dtype))
+    else:
+        def apply(y):
+            rr = jnp.zeros((1, 1), dtype)
+            return call(rr, st.Ay, st.Ax, st.Ty, st.Tx,
+                        jnp.asarray(y, dtype))
+
+    return apply
+
+
+def make_blocked_weighted_normal_operator(shape, cov, alpha_cut=3,
+                                          spacing=None, block=None,
+                                          dtype=jnp.float32,
+                                          precision=lax.Precision.HIGHEST,
+                                          interpret=False):
+    """Build ``apply(v, w, rho) -> Aᵀ(w ⊙ (A v)) + rho·DᵀD v`` streaming
+    over z-blocks in ONE pass — the SPD apply of every IRLS inner-CG
+    iteration on a robust deconvolution (the weighted normal equations
+    of the MM surrogate, solvers/tikhonov.py::tikhonov_solve
+    ``minimizer="irls"``).
+
+    Per block: the first blur pass is evaluated on the extended
+    ``block + 2·r_a`` rows straight from the ``v`` slab (whose halo is
+    the full ``r = 2·r_a``, so those rows are exact), the frozen IRLS
+    weight ``w`` (halo ``r_a``, loaded with the same ``r``-halo slab
+    machinery) multiplies in VMEM, and the second (adjoint = identical,
+    symmetric taps) blur pass plus the boundary-corrected Laplacian
+    produce the center. One read of v + one of w + one write — vs 4
+    reads + 2 writes for the two-kernel split."""
+    st = _RobustStencils(shape, cov, alpha_cut, spacing, dtype)
+    r = st.halo  # = 2·r_a ≥ 2 — covers the lap's ±1 too
+    if block is None:
+        block, n_buf = _pick_layout(shape, r, dtype, n_ext=2, n_io=1,
+                                    n_tmp=8)
+        if block is None:
+            raise ValueError("no z-block layout of shape %s fits the "
+                             "scoped-VMEM budget for the weighted "
+                             "normal operator" % (shape,))
+    else:
+        n_buf = 2
+    nblk = st.validate_block(block)
+    Z, Y, X = shape
+    ra = st.r_a
+
+    def kernel(sc_ref, ay_ref, ax_ref, ty_ref, tx_ref, v_hbm, w_hbm,
+               out_ref, ext_v, ext_w, sem_v, sem_w):
+        i = pl.program_id(0)
+        slot = _load_ext_pipelined(
+            [(v_hbm, ext_v, sem_v), (w_hbm, ext_w, sem_w)], i, nblk, Z,
+            block, r, n_buf=n_buf)
+        ay, ax = ay_ref[:], ax_ref[:]
+        # pass 1: A v on the EXTENDED rows [-r_a, block + r_a) — slab
+        # row s0 of the extended range maps to slab index s0 + (r - r_a)
+        getv_ext = lambda s0, n: ext_v[slot, pl.ds(s0, n)]
+        s = _blur_rows(getv_ext, st, ay, ax, block + 2 * ra, precision)
+        # frozen IRLS weight: w slab rows [-r_a, block + r_a) align with
+        # s (w was DMA'd with the same r halo; offset r - r_a)
+        s = s * ext_w[slot, pl.ds(r - ra, block + 2 * ra)]
+        # pass 2 (adjoint = same symmetric taps) on the center rows
+        q = None
+        for t in range(2 * ra + 1):
+            term = st.a_z[t] * lax.slice_in_dim(s, t, t + block, axis=0)
+            q = term if q is None else q + term
+        q = _conv_minor(q, ay, 1, st.banded_y, precision)
+        q = _conv_minor(q, ax, 2, st.banded_x, precision)
+        getv = lambda s0, n: ext_v[slot, pl.ds(s0, n)]
+        q = q + _lap_center(getv, st, sc_ref[0, 0], i, block,
+                            ty_ref[:], tx_ref[:], r, precision)
+        out_ref[:] = q
+
+    const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                     memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const(st.Ay.shape), const(st.Ax.shape),
+            const(st.Ty.shape), const(st.Tx.shape),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block, Y, X), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, block + 2 * r, Y, X), dtype),
+            pltpu.VMEM((n_buf, block + 2 * r, Y, X), dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def apply(v, w, rho):
+        rr = jnp.full((1, 1), rho, dtype)
+        return call(rr, st.Ay, st.Ax, st.Ty, st.Tx,
+                    jnp.asarray(v, dtype), jnp.asarray(w, dtype))
+
+    return apply
+
+
+def blocked_robust_admm_solve(shape, cov, alpha_cut=3, spacing=None,
+                              iterations=10, iter_max=10,
+                              irls_cg_iters=8, data_loss="huber",
+                              dtype=jnp.float32,
+                              precision=lax.Precision.HIGHEST,
+                              interpret=False):
+    """Build ``solve(b, x0, alpha, rho, data_loss_scale=1.0) -> x``:
+    robust ADMM TV-deconvolution for volumes past VMEM, fully streaming
+    (VERDICT r4 item 1 — the last problem-class × scale cell).
+
+    The x-update mirrors ``tikhonov_solve(minimizer="irls")`` exactly
+    (``alpha=rho``, bounds ``(0, ∞)``, the reference's b_reg-ignoring
+    robust-path quirk): ``iter_max`` MM sweeps, each freezing
+    ``w = ρ'(r²)`` and the active box constraints, then
+    ``irls_cg_iters`` masked-CG iterations whose SPD apply is the
+    one-pass streaming :func:`make_blocked_weighted_normal_operator`;
+    the residual and gradient ride
+    :func:`make_blocked_blur_operator` (``with_lap`` fuses
+    ``Aᵀ(w·r) + ρ·DᵀD x`` into one pass). Outer TV prox/dual updates
+    are the same XLA elementwise chains as the linear
+    ``blocked_admm_solve``. Parity vs ``admm_solve(minimizer="irls")``
+    on the XLA matmul operators is pinned in tests/test_pallas.py."""
+    from nsol_tpu.ops import grad as G
+    from nsol_tpu.ops.prox import vectorial_soft_threshold
+
+    blur = make_blocked_blur_operator(
+        shape, cov, alpha_cut=alpha_cut, spacing=spacing, dtype=dtype,
+        precision=precision, interpret=interpret)
+    blur_lap = make_blocked_blur_operator(
+        shape, cov, alpha_cut=alpha_cut, spacing=spacing, dtype=dtype,
+        precision=precision, with_lap=True, interpret=interpret)
+    wnormal = make_blocked_weighted_normal_operator(
+        shape, cov, alpha_cut=alpha_cut, spacing=spacing, dtype=dtype,
+        precision=precision, interpret=interpret)
+    grad_rho = lf.gradient_loss(data_loss)
+
+    def solve(b, x0, alpha, rho, data_loss_scale=1.0):
+        b = jnp.asarray(b, dtype)
+        x = jnp.asarray(x0, dtype)
+        alpha = jnp.asarray(alpha, dtype)
+        rho = jnp.asarray(rho, dtype)
+        dls = jnp.asarray(data_loss_scale, dtype)
+        v = G.gradient(x, spacing)
+        w_dual = jnp.zeros_like(v)
+
+        def irls_sweep(x, _):
+            r = blur(x) - b
+            wts = grad_rho(r * r, f_scale=dls)
+            g = blur_lap(wts * r, x, rho)
+            free = jnp.where(jnp.logical_and(x <= 0.0, g > 0.0),
+                             0.0, 1.0).astype(dtype)
+
+            # masked CG on the free variables (solvers/cg.py::cg
+            # semantics, inlined so the apply stays the one-pass kernel)
+            rhs = -free * g
+            xk = jnp.zeros_like(x)
+            rk = rhs
+            gamma = jnp.sum(rk * rk)
+            pk = rk
+
+            def cg_iter(c, _):
+                xk, rk, pk, gamma = c
+                pf = free * pk
+                q = free * wnormal(pf, wts, rho) + (pk - pf)
+                pq = jnp.sum(pk * q)
+                a = jnp.where(pq > 0,
+                              gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
+                xk = xk + a * pk
+                rk = rk - a * q
+                gamma_new = jnp.sum(rk * rk)
+                beta = jnp.where(gamma > 0,
+                                 gamma_new
+                                 / jnp.where(gamma > 0, gamma, 1.0),
+                                 0.0)
+                pk = rk + beta * pk
+                return (xk, rk, pk, gamma_new), None
+
+            (xk, _, _, _), _ = lax.scan(
+                cg_iter, (xk, rk, pk, gamma), None,
+                length=irls_cg_iters)
+            return jnp.maximum(x + xk, 0.0), None
+
+        def outer(carry, _):
+            x, v, w_dual = carry
+            x, _ = lax.scan(irls_sweep, x, None, length=iter_max)
+            t = G.gradient(x, spacing) + w_dual
+            v = vectorial_soft_threshold(t, alpha / rho)
+            w_dual = t - v
+            return (x, v, w_dual), None
+
+        (x, _, _), _ = lax.scan(outer, (x, v, w_dual), None,
+                                length=iterations)
+        return x
+
+    return solve

@@ -188,18 +188,18 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
 
             from nsol_tpu.parallel import blocked_halo
             on_cpu = jax.default_backend() == "cpu"
-            # auto-enable on real multi-chip meshes (n_shards > 1 —
-            # single-process slices like a v5e-8 included — or
-            # multi-host): correctness is pinned everywhere
-            # (tests/test_sharding.py). The single-chip axon tunnel is
-            # excluded by construction (its meshes have one shard):
-            # there, MXU matmuls inside manually-partitioned modules
-            # run 20-50x slower — XLA einsum included, so not a Pallas
-            # or formulation issue (bisected 2026-08-21,
-            # benchmarks/shard_pallas_diag6/7.py). Explicit
-            # use_blocked=True opts in anywhere.
+            # auto-enable only on real MULTI-HOST meshes: the
+            # MXU-in-SPMD pathology of the axon tunnel (matmuls inside
+            # manually-partitioned modules 20-50x slower — XLA einsum
+            # included, so not a Pallas or formulation issue; bisected
+            # 2026-08-21, benchmarks/shard_pallas_diag6/7.py) was only
+            # ever measured on single-process sessions, so any
+            # single-process mesh a tunnel might expose stays excluded
+            # (ADVICE r4). A real single-process multi-chip slice
+            # (e.g. v5e-8) opts in with use_blocked=True; correctness
+            # is pinned everywhere (tests/test_sharding.py).
             auto = (not on_cpu
-                    and (n_shards > 1 or jax.process_count() > 1)
+                    and jax.process_count() > 1
                     and int(np.prod(local_shape)) * b.dtype.itemsize
                     >= 16 * 1024 * 1024)
             if use_blocked or auto \

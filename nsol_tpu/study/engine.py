@@ -13,6 +13,7 @@ the reference's ``set_<key>``/``get_<key>`` contract.
 
 import datetime
 import itertools
+import math
 import os
 import re
 
@@ -138,9 +139,11 @@ class SolverParameterStudy(ParameterStudy):
             if value == prev:
                 continue
             # numeric settings match up to the reference's 1e-6 header
-            # tolerance; everything else must be literally identical
+            # tolerance (combined rel+abs so large magnitudes compare
+            # relatively — ADVICE r4); everything else must be literal
             if (_is_float(value) and _is_float(prev)
-                    and abs(float(value) - float(prev)) < 1.5e-6):
+                    and math.isclose(float(value), float(prev),
+                                     rel_tol=1e-6, abs_tol=1e-6)):
                 continue
             incompatible("setting '%s' is %s on disk but %s in the "
                          "current solver" % (key, prev, value))
@@ -149,14 +152,18 @@ class SolverParameterStudy(ParameterStudy):
     def _stored_combo(stored_rows, vals):
         """True when a parameter combination already has a stored row.
         Stored values are the writer's strings; numeric values match to
-        the study engine's 1e-6 tolerance, everything else literally."""
+        the study engine's 1e-6 tolerance (combined rel+abs, so
+        large-magnitude grid values compare relatively and sub-1e-6
+        grid spacings are not silently merged — ADVICE r4), everything
+        else literally."""
         for stored in stored_rows:
             if len(stored) != len(vals):
                 continue
             ok = True
             for s, v in zip(stored, vals):
                 if _is_float(s) and _is_float(v):
-                    if abs(float(s) - float(v)) >= 1.5e-6:
+                    if not math.isclose(float(s), float(v),
+                                        rel_tol=1e-6, abs_tol=1e-6):
                         ok = False
                         break
                 elif str(s) != str(v):

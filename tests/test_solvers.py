@@ -759,7 +759,9 @@ def test_fused_sweep_cache_shared_across_instances(rng, monkeypatch):
     from nsol_tpu.ops import conv as C, grad as G
 
     monkeypatch.setenv("NSOL_TPU_FUSED_INTERPRET", "1")
-    monkeypatch.setattr(W, "_FUSED_SWEEP_CACHE", {})
+    import collections
+    monkeypatch.setattr(W, "_FUSED_SWEEP_CACHE",
+                        collections.OrderedDict())
     calls = {"n": 0}
     real = fused.make_fused_admm_solver
 
