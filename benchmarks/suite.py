@@ -790,6 +790,77 @@ def config_scale_256cubed_blocked_high3():
     return out
 
 
+def config_scale_256cubed_robust_blocked():
+    """256³ HUBER (robust) TV-deconvolution, ADMM + IRLS inner — the
+    round-5 blocked ROBUST streaming path (ops/pallas/robust.py: one-pass
+    weighted normal applies) vs the previous fallback (XLA matmul
+    operators + the same IRLS engine). The last problem-class × scale
+    cell gets its TPU-first kernel (VERDICT r4 item 1); objective parity
+    between the legs is gated."""
+    from nsol_tpu.ops import matmul_ops as MM
+    from nsol_tpu.ops.pallas.robust import blocked_robust_admm_solve
+    from nsol_tpu.solvers.admm import admm_solve as _admm_solve
+    from nsol_tpu.ops import losses as _lf
+
+    shape = (256, 256, 256)
+    rng = np.random.RandomState(0)
+    x_true = (rng.rand(*shape) > 0.7).astype(DTYPE)
+    cov = np.diag([1.0] * 3)
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="auto", dtype=DTYPE)
+    nB = MM.matmul_gradient_normal_fn(shape, dtype=DTYPE)
+    Bg, Bg_adj = G.make_gradient_operators()
+    xj = jnp.asarray(x_true)
+    b = jit_closed(A, (xj,))(xj)
+    # salt-and-pepper-ish outliers — the regime robust losses exist for
+    noise = jnp.asarray(
+        (rng.rand(*shape) < 0.01).astype(DTYPE)
+        * rng.randn(*shape).astype(DTYPE))
+    b = b + 0.5 * noise
+    br = jnp.zeros((3,) + shape, DTYPE)
+    al = jnp.asarray(0.01, DTYPE)
+    rh = jnp.asarray(0.5, DTYPE)
+    ITERS, SWEEPS, CGI = 10, 5, 8
+
+    def objective(bi, x):
+        r = A(x) - bi
+        g = Bg(x)
+        return 0.5 * jnp.sum(_lf.huber(r * r)) \
+            + al * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
+
+    obj_f = jit_closed(objective, (b, b))
+    out = {"config": "synthetic_256cubed_huber_admm_irls_10it"}
+
+    def xla_solve(bi, x0):
+        x, _ = _admm_solve(A, A_adj, Bg, Bg_adj, bi, br, x0, al, rh,
+                           iterations=ITERS, iter_max=SWEEPS,
+                           data_loss="huber", minimizer="irls",
+                           irls_cg_iters=CGI, normal_B=nB)
+        return x
+
+    legs = [("xla", None)]
+    legs += [("blocked", {}), ("blocked_high3", {"precision": "high3"})]
+    for tag, kw in legs:
+        if kw is None:
+            f = jit_closed(xla_solve, (b, b))
+        else:
+            solve = blocked_robust_admm_solve(
+                shape, cov, iterations=ITERS, iter_max=SWEEPS,
+                irls_cg_iters=CGI, data_loss="huber", **kw)
+            f = jit_closed(lambda bi, x0: solve(bi, x0, al, rh), (b, b))
+        x = f(b, b)
+        out["objective_" + tag] = round(float(np.asarray(obj_f(b, x))), 1)
+        n = 2
+        t0 = time.perf_counter()
+        xi = b
+        for _ in range(n):
+            xi = f(b, xi)
+        np.asarray(xi[0, 0, 0])
+        per = (time.perf_counter() - t0) / n
+        out["iters_per_sec_" + tag] = round(ITERS / per, 2)
+    return out
+
+
 def config_scale_512cubed_blocked_cg():
     """512³ (134M voxels, BASELINE config 5's volume) on ONE chip with the
     single-input blocked ``AᵀA+ρDᵀD`` kernel under the XLA CG — the
@@ -931,6 +1002,7 @@ def main():
                    config_scale_256cubed_blocked,
                    config_scale_256cubed_blocked_cg,
                    config_scale_256cubed_blocked_high3,
+                   config_scale_256cubed_robust_blocked,
                    config_scale_512cubed_blocked_cg,
                    config_scale_512cubed_compact)
     configs = all_configs
@@ -978,6 +1050,16 @@ def main():
                 and abs(o3 - oh) > 1e-3 * abs(oh):
             failures.append("%s: high3 objective %s vs HIGHEST %s drifts "
                             "past 0.1%%" % (cfg, o3, oh))
+        # robust blocked-vs-XLA legs (round 5): same IRLS math, gate the
+        # converged objectives
+        ox = out.get("objective_xla")
+        for key, tol in (("objective_blocked", 1e-3),
+                         ("objective_blocked_high3", 1.5e-3)):
+            ob_r = out.get(key)
+            if ox is not None and ob_r is not None \
+                    and abs(ob_r - ox) > tol * abs(ox):
+                failures.append("%s: %s %s vs XLA %s drifts past %g%%"
+                                % (cfg, key, ob_r, ox, 100 * tol))
         ob = out.get("objective_high3_bf16")
         anchor = oh if oh is not None else out.get("objective_f32")
         if ob is None:

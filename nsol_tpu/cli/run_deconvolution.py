@@ -159,6 +159,28 @@ def main():
             fused_jit = jit_closed(
                 lambda x0, a: fused_admm(bj, x0, a, rho0, dls0),
                 (bj, a0))
+        elif (on_accel and dimension == 3 and args.data_loss != "linear"
+                and args.minimizer == "irls"):
+            # Past-VMEM 3-D ROBUST deconvolution (round 5): the streaming
+            # blocked IRLS path — one-pass weighted normal applies
+            # (ops/pallas/robust.py), the last problem-class × scale cell
+            # with a TPU-first path (VERDICT r4 item 1).
+            try:
+                from nsol_tpu.ops.pallas.robust import (
+                    blocked_robust_admm_solve,
+                )
+
+                rsolve = blocked_robust_admm_solve(
+                    observed_nda.shape, cov, spacing=spacing,
+                    iterations=args.iterations, iter_max=args.iter_max,
+                    irls_cg_iters=args.irls_cg_iters,
+                    data_loss=args.data_loss, interpret=interp)
+                fused_jit = jit_closed(
+                    lambda x0, a: rsolve(bj, x0, a, rho0,
+                                         data_loss_scale=dls0),
+                    (bj, a0))
+            except ValueError:
+                fused_jit = None
         elif (on_accel and dimension == 3 and args.data_loss == "linear"
                 and args.minimizer == "cg"):
             # Past-VMEM 3-D volumes: the fully streaming z-blocked solve

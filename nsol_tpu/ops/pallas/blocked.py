@@ -927,7 +927,8 @@ def make_blocked_cg_step_2d(shape, cov, alpha_cut=3, spacing=None,
 def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
                          block=None, dtype=jnp.float32,
                          precision=lax.Precision.HIGHEST,
-                         interpret=False, n_buf=None, io_dtype=None):
+                         interpret=False, n_buf=None, io_dtype=None,
+                         r_dtype=None, q_dtype=None):
     """Build the fused CG hot step
     ``step(r, p, beta, rho) -> (p_new, q, pq)`` with
     ``p_new = r + β·p``, ``q = (AᵀA + ρDᵀD) p_new``, ``pq = Σ p_new·q`` —
@@ -941,9 +942,23 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
     p'-update, tap accumulation, matmuls and the ``Σp'q`` partial run in
     ``dtype`` (f32); the pq output stays f32. Halves the kernel's HBM
     traffic (VERDICT r3 item 2).
+
+    ``r_dtype`` (round 5, compact-DIRECTIONS mode): dtype of the r
+    input/slab alone when it differs from ``io_dtype`` — the
+    fused-kernel ``compact_dirs`` split transferred to the blocked
+    family (VERDICT r4 item 2): only the search directions p/p'/q round
+    to bf16 while the residual r (carried f32 by the caller's XLA
+    update) streams in f32, so the ~1 % voxel drift of the full-compact
+    mode (which rounds r every iteration) collapses to the
+    rounded-direction class; the p' slab stays bf16-exact so the
+    Laplacian matmuls keep the 2-pass "high2" schedule.
     """
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
     io_dtype = dtype if io_dtype is None else jnp.dtype(io_dtype)
+    r_io = io_dtype if r_dtype is None else jnp.dtype(r_dtype)
+    # ``q_dtype``: the q output alone (compact-dirs "qf32" variant: q
+    # feeds the f32 r recurrence exactly, at +2 bytes/voxel traffic)
+    q_io = io_dtype if q_dtype is None else jnp.dtype(q_dtype)
     lap_prec = ("high2" if (io_dtype == jnp.bfloat16
                             and precision == "high3") else None)
     # Working set: 2 halo-extended inputs (r, p) × n_buf DMA slots + the
@@ -953,9 +968,13 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
     # instead of a Mosaic compile failure deep inside the first jit.
     n_buf_override = n_buf
     block_req = block
+    # mixed slab dtypes (compact-dirs: r f32, p bf16) budget with the
+    # WIDER dtype — conservative, so a fitting layout really fits
+    slab_pick = r_io if jnp.dtype(r_io).itemsize \
+        > jnp.dtype(io_dtype).itemsize else io_dtype
     block, n_buf = _pick_layout(shape, st.halo, dtype, n_ext=2,
                                 n_io=1, block=block,
-                                slab_dtype=io_dtype)
+                                slab_dtype=slab_pick)
     if block_req is None and block is not None and block > 16:
         # measured preference (256³ compact probe, 2026-08-21): z-block
         # 16 beats 32 at every prefetch depth (57.0 vs 54.0 it/s at
@@ -964,7 +983,7 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
         # direction as round 3's (16, dbl) > (32, single) finding. The
         # larger fitting block is only taken when 16 does not fit.
         b16, nb16 = _pick_layout(shape, st.halo, dtype, n_ext=2,
-                                 n_io=1, block=16, slab_dtype=io_dtype)
+                                 n_io=1, block=16, slab_dtype=slab_pick)
         if b16 is not None:
             block, n_buf = b16, nb16
     if n_buf_override is not None:
@@ -989,7 +1008,8 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
         # materialize p' = r + β·p into ONE extended scratch slab, then
         # run the single-input tap loop over it. The previous lazy
         # two-slab accessor kept per-tap slices of BOTH slabs live and
-        # register-spilled 65 MB past VMEM at 512-wide planes.
+        # register-spilled 65 MB past VMEM at 512-wide planes. (In
+        # compact-dirs mode r streams in r_io=f32 and only p'/q round.)
         pn_ext[...] = (ext_r[slot].astype(dtype)
                        + beta * ext_p[slot].astype(dtype)).astype(io_dtype)
         # p' center goes out via manual DMA straight from the scratch —
@@ -1003,7 +1023,7 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
             get, st, rho, i, block,
             (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision,
             lap_precision=lap_prec)
-        q_ref[:] = q.astype(io_dtype)
+        q_ref[:] = q.astype(q_io)
         # per-block partial dot; (1, 8, 128) broadcast satisfies the
         # Mosaic (8, 128) minor-dims tiling rule for blocked outputs
         pq_ref[:] = jnp.full((1, 8, 128), jnp.sum(pn_center * q), dtype)
@@ -1029,11 +1049,11 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
         ],
         out_shape=[
             jax.ShapeDtypeStruct(shape, io_dtype),
-            jax.ShapeDtypeStruct(shape, io_dtype),
+            jax.ShapeDtypeStruct(shape, q_io),
             jax.ShapeDtypeStruct((nblk, 8, 128), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), io_dtype),
+            pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), r_io),
             pltpu.VMEM((n_buf, block + 2 * r_h, Y, X), io_dtype),
             pltpu.VMEM((block + 2 * r_h, Y, X), io_dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
@@ -1049,7 +1069,7 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
         sc = jnp.stack([jnp.asarray(beta, dtype),
                         jnp.asarray(rho, dtype)]).reshape(1, 2)
         pn, q, pq = call(sc, st.Ny, st.Nx, st.Ty, st.Tx,
-                         jnp.asarray(r, io_dtype),
+                         jnp.asarray(r, r_io),
                          jnp.asarray(p, io_dtype))
         return pn, q, jnp.sum(pq[:, 0, 0])
 
@@ -1213,7 +1233,8 @@ def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
 def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
                        iterations=10, iter_max=10, dtype=jnp.float32,
                        precision=lax.Precision.HIGHEST, block=None,
-                       interpret=False, mode="auto", state_dtype=None):
+                       interpret=False, mode="auto", state_dtype=None,
+                       compact_dirs=False):
     """Build ``solve(b, x0, alpha, rho) -> x``: ADMM TV-L2 deconvolution
     for volumes past VMEM, fully streaming.
 
@@ -1224,6 +1245,15 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
     in-kernel arithmetic stay ``dtype`` (f32 accumulation). The r0 of
     each outer x-update is recomputed in f32 from scratch, so rounding
     does not accumulate across outer iterations.
+
+    ``compact_dirs`` (round 5, VERDICT r4 item 2): the fused kernel's
+    compact-DIRECTIONS split transferred here — only the CG search
+    directions p/q (and their slabs) round to bfloat16; the residual r,
+    x, and every reduction stay f32 AND the outer r0 uses a separate
+    full-f32 apply. Keeps most of the full-compact traffic win and the
+    2-pass "high2" Laplacian while collapsing the ~1 % voxel drift
+    (driven by rounding r each iteration) to the rounded-direction
+    class. Mutually exclusive with ``state_dtype``.
 
     ``mode="sweep"`` (default where it fits): every CG iteration is ONE
     z-blocked Pallas pass (:func:`make_blocked_cg_sweep`) — the deferred
@@ -1248,9 +1278,21 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
     from nsol_tpu.ops.prox import vectorial_soft_threshold
 
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
+    if compact_dirs and state_dtype is not None:
+        raise ValueError("compact_dirs and state_dtype are mutually "
+                         "exclusive")
+    if compact_dirs and mode == "sweep":
+        raise ValueError("compact_dirs is not supported for the sweep "
+                         "formulation (measured slower anyway)")
     io = dtype if state_dtype is None else jnp.dtype(state_dtype)
+    if compact_dirs:
+        io = jnp.dtype(jnp.bfloat16)  # directions only; r stays f32
     to_io = (lambda a: a) if io == dtype else (lambda a: a.astype(io))
     to_f = (lambda a: a) if io == dtype else (lambda a: a.astype(dtype))
+    # r's carry dtype: f32 in compact-dirs mode, io otherwise
+    r_io = dtype if compact_dirs else io
+    to_rio = (lambda a: a) if r_io == dtype \
+        else (lambda a: a.astype(r_io))
     if mode == "auto":
         # "step" is the measured production formulation (46.1 vs the
         # sweep's 39.3 it/s at 256³ high3, same session 2026-08-21 — the
@@ -1265,7 +1307,9 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
         # requires the double-buffered layout; "step" stays available
         # explicitly.
         blk_, nbuf_ = _pick_layout(shape, st.halo, dtype, n_ext=2,
-                                   n_io=1, block=block, slab_dtype=io)
+                                   n_io=1, block=block,
+                                   slab_dtype=(dtype if compact_dirs
+                                               else io))
         if blk_ is not None and nbuf_ == 2:
             mode = "step"
         else:
@@ -1285,7 +1329,9 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
         cg_step = make_blocked_cg_step(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
             dtype=dtype, precision=precision, interpret=interpret,
-            io_dtype=io)
+            io_dtype=io,
+            r_dtype=(dtype if compact_dirs else None),
+            q_dtype=(dtype if compact_dirs == "qf32" else None))
     elif mode == "step2d":
         if io != dtype:
             raise ValueError("state_dtype is not supported for "
@@ -1312,6 +1358,23 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
             dtype=dtype, precision=precision, interpret=interpret,
             io_dtype=io)
+    # compact-dirs: the outer r0 must not round x — build a full-f32
+    # apply for it (the CG p-applies keep the bf16 ``apply_M``)
+    if compact_dirs and io != dtype:
+        zb32, yb32 = pick_zy_blocks(shape, st.halo, dtype,
+                                    halo_y=st.halo_y)
+        if zb32 is not None and block is None:
+            apply_f32 = make_blocked_normal_operator_2d(
+                shape, cov, alpha_cut=alpha_cut, spacing=spacing,
+                z_block=zb32, y_block=yb32, dtype=dtype,
+                precision=precision, interpret=interpret)
+        else:
+            apply_f32 = make_blocked_normal_operator(
+                shape, cov, alpha_cut=alpha_cut, spacing=spacing,
+                block=block, dtype=dtype, precision=precision,
+                interpret=interpret)
+    else:
+        apply_f32 = apply_M
     # one-time Aᵀb (A symmetric ⇒ Aᵀb = Ab): loop-invariant, XLA matmuls.
     # ``precision`` may be the Pallas-only "high3" string (3-pass
     # emulated-HIGH inside the kernels); the XLA-side constant prep is
@@ -1330,11 +1393,13 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
 
         def cg_step_mode(x, r):
             # round-2 formulation: fused kernel + one XLA fusion per
-            # iter. Compact mode: r/p/q carried in ``io``, x and all
-            # scalars in f32 (the r update runs in f32 then rounds).
+            # iter. Full-compact mode carries r/p/q in ``io``;
+            # compact-dirs keeps r (and x, reductions) f32 and rounds
+            # only the directions p/q. The r update runs in f32 either
+            # way.
             gamma = jnp.sum(r * r)
-            r = to_io(r)
-            p = jnp.zeros_like(r)
+            r = to_rio(r)
+            p = jnp.zeros(shape, io)
             beta = jnp.asarray(0.0, dtype)
 
             def cg_iter(c, _):
@@ -1348,7 +1413,7 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
                 beta = jnp.where(gamma > 0,
                                  gamma_new / jnp.where(gamma > 0, gamma,
                                                        1.0), 0.0)
-                return (x, to_io(r32), p, gamma_new, beta), None
+                return (x, to_rio(r32), p, gamma_new, beta), None
 
             (x, _, _, _, _), _ = lax.scan(
                 cg_iter, (x, r, p, gamma, beta), None, length=iter_max)
@@ -1383,11 +1448,12 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
 
         def cg_apply_mode(x, r):
             # plain CG (solvers/cg.py semantics) around the blocked
-            # apply; compact mode keeps r/p/q in ``io`` and the updates
-            # + reductions in f32
+            # apply; full-compact keeps r/p/q in ``io``, compact-dirs
+            # keeps r f32 and rounds only the directions; updates +
+            # reductions are f32 either way
             gamma = jnp.sum(r * r)
-            r = to_io(r)
-            p = r
+            r = to_rio(r)
+            p = to_io(r)
 
             def cg_iter(c, _):
                 x, r, p, gamma = c
@@ -1402,7 +1468,7 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
                 beta = jnp.where(gamma > 0,
                                  gamma_new / jnp.where(gamma > 0, gamma,
                                                        1.0), 0.0)
-                return (x, to_io(r32), to_io(r32 + beta * p32),
+                return (x, to_rio(r32), to_io(r32 + beta * p32),
                         gamma_new), None
 
             (x, _, _, _), _ = lax.scan(cg_iter, (x, r, p, gamma), None,
@@ -1416,7 +1482,8 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             # warm-started CG on the normal equations (solvers/cg.py);
             # r0 recomputed in f32 each outer iteration — compact-state
             # rounding cannot accumulate across the outer loop
-            r = rhs - to_f(apply_M(x, rho))
+            # (compact-dirs: apply_f32 keeps even x's rounding out)
+            r = rhs - to_f(apply_f32(x, rho))
             x = {"sweep": cg_sweep_mode, "step": cg_step_mode,
                  "apply": cg_apply_mode}[mode](x, r)
             x = jnp.maximum(x, 0.0)  # reference default bounds (0, ∞)

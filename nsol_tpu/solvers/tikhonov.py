@@ -105,7 +105,8 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
                    minimizer="lsmr", iter_max=10,
                    bounds=(0.0, np.inf), axis_name=None,
                    normal_A=None, normal_B=None, At_b=None,
-                   irls_cg_iters=8, normal_M=None):
+                   irls_cg_iters=8, normal_M=None,
+                   normal_W=None, grad_W=None):
     """Return the minimizer estimate. Pure function; callers jit.
 
     ``A/A_adj`` map the solution space to data space; ``B/B_adj`` to the
@@ -213,12 +214,20 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
         nB = normal_B if normal_B is not None else (lambda v: B_adj(B(v)))
         grad_rho = lf.gradient_loss(data_loss)
 
+        # Streaming-kernel hooks (past-VMEM volumes, ops/pallas/robust.py):
+        # ``normal_W(vf, wts, alpha) -> Aᵀ(wts·A vf) + α·BᵀB vf`` fuses the
+        # weighted SPD apply into ONE pass; ``grad_W(x, wts_r, alpha) ->
+        # Aᵀ(wts_r) + α·BᵀB x`` fuses the sweep gradient. Defaults keep the
+        # operator-composition form.
         def sweep(x, _):
             r = A(x) - b
             wts = grad_rho(r * r, f_scale=data_loss_scale)
             # ∇cost = Aᵀ(ρ'(r²)·r) + α BᵀBx — the majorizer's gradient
             # coincides with it at the expansion point.
-            g = A_adj(wts * r) + alpha_t * nB(x)
+            if grad_W is not None:
+                g = grad_W(x, wts * r, alpha_t)
+            else:
+                g = A_adj(wts * r) + alpha_t * nB(x)
             if bounds is None:
                 free = jnp.ones_like(x)
             else:
@@ -229,8 +238,11 @@ def tikhonov_solve(A, A_adj, B, B_adj, b, b_reg, x0, alpha,
 
             def apply_M(v):
                 vf = free * v
-                return free * (A_adj(wts * A(vf)) + alpha_t * nB(vf)) \
-                    + (v - vf)
+                if normal_W is not None:
+                    core = normal_W(vf, wts, alpha_t)
+                else:
+                    core = A_adj(wts * A(vf)) + alpha_t * nB(vf)
+                return free * core + (v - vf)
 
             v = cg(apply_M, -free * g, jnp.zeros_like(x),
                    iters=irls_cg_iters, axis_name=axis_name)

@@ -793,3 +793,46 @@ def test_fused_sweep_cache_shared_across_instances(rng, monkeypatch):
     x2 = run_fresh_instance()
     assert calls["n"] == 1  # second instance: zero new Mosaic builds
     np.testing.assert_array_equal(x1, x2)
+
+
+def test_tikhonov_irls_streaming_hooks(rng):
+    """tikhonov_solve(minimizer='irls') with the streaming-kernel hooks
+    (normal_W/grad_W from ops/pallas/robust.py, interpret mode) follows
+    the operator-composition path exactly — the past-VMEM robust
+    Tikhonov wiring (VERDICT r4 item 1)."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops.conv import make_blur_operators
+    from nsol_tpu.ops.pallas.robust import (
+        make_blocked_blur_operator, make_blocked_weighted_normal_operator)
+    from nsol_tpu.solvers.tikhonov import tikhonov_solve
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0] * 3)
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = jnp.asarray(ndi.convolve(x_true, kern, mode="wrap")
+                    .astype(np.float32))
+    A, A_adj = make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+
+    import jax
+
+    def solve(**kw):
+        return jax.jit(lambda bb: tikhonov_solve(
+            A, A_adj, Bg, Bg_adj, bb, 0.0, bb, 0.05, data_loss="huber",
+            minimizer="irls", iter_max=3, irls_cg_iters=4,
+            normal_B=G.gradient_normal, **kw))(b)
+
+    want = np.asarray(solve())
+
+    blur_lap = make_blocked_blur_operator(shape, cov, with_lap=True,
+                                          interpret=True)
+    wnormal = make_blocked_weighted_normal_operator(shape, cov,
+                                                    interpret=True)
+    got = np.asarray(solve(
+        normal_W=lambda vf, wts, a: wnormal(vf, wts, a),
+        grad_W=lambda x, wr, a: blur_lap(wr, x, a)))
+    np.testing.assert_allclose(got, want, atol=5e-6)
