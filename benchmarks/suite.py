@@ -712,7 +712,9 @@ def config_scale_256cubed_blocked_cg():
     out = {"config": "synthetic_256cubed_tv_admm_cg_50it_blocked_cg"}
     for tag, kw in (("highest", {}), ("high3", {"precision": "high3"}),
                     ("high3_bf16", {"precision": "high3",
-                                    "state_dtype": jnp.bfloat16})):
+                                    "state_dtype": jnp.bfloat16}),
+                    ("high3_dirs", {"precision": "high3",
+                                    "compact_dirs": True})):
         solve = blocked_admm_solve(shape, cov, iterations=50, iter_max=10,
                                    **kw)
 
@@ -953,10 +955,10 @@ def config_scale_512cubed_compact():
 
     obj_f = jit_closed(objective, (b, b))
     out = {"config": "synthetic_512cubed_blocked_compact"}
-    for tag, sd in (("f32", None), ("bf16", jnp.bfloat16)):
+    for tag, ckw in (("f32", {}), ("bf16", {"state_dtype": jnp.bfloat16}),
+                     ("dirs", {"compact_dirs": True})):
         solve = blocked_admm_solve(shape, cov, iterations=50, iter_max=10,
-                                   mode="apply", precision=prec,
-                                   state_dtype=sd)
+                                   mode="apply", precision=prec, **ckw)
         f = jit_closed(lambda bi, x0: solve(bi, x0, al, rh), (b, b))
         x = f(b, b)
         out["objective_" + tag] = round(float(np.asarray(obj_f(b, x))), 1)
@@ -1068,6 +1070,14 @@ def main():
                 and abs(ob - anchor) > 1.5e-3 * abs(anchor):
             failures.append("%s: compact-state objective %s vs %s drifts "
                             "past 0.15%%" % (cfg, ob, anchor))
+        # compact_dirs (round 5): r stays f32, so the objective must sit
+        # in the f32-noise band of its anchor (measured IDENTICAL)
+        anchor_d = o3 if o3 is not None else out.get("objective_f32")
+        od = out.get("objective_high3_dirs", out.get("objective_dirs"))
+        if anchor_d is not None and od is not None \
+                and abs(od - anchor_d) > 2e-4 * abs(anchor_d):
+            failures.append("%s: compact_dirs objective %s vs %s drifts "
+                            "past 0.02%%" % (cfg, od, anchor_d))
         if cfg.startswith("lena256_huber_admm") and "objective" in out:
             huber_objs[cfg] = out["objective"]
     if len(huber_objs) > 1:

@@ -192,17 +192,22 @@ def main():
             try:
                 from nsol_tpu.ops.pallas.blocked import blocked_admm_solve
 
-                # NSOL_TPU_COMPACT=1 opts into compact bf16 CG state:
-                # +11-17% on the BW-bound scale volumes at 0.06%
-                # OBJECTIVE drift — but worst-case VOXEL deviations
-                # reach ~1% (TV flat directions), so it is not a silent
-                # default (BASELINE.md round 4).
+                # Compact-state policy (round 5): compact_dirs is the
+                # DEFAULT — r/x/reductions/r0 stay f32, only the CG
+                # directions round to bf16; objective IDENTICAL to the
+                # f32 path, voxel dev 2e-4-class, 256³ 46→52.7 and 512³
+                # 4.8→5.8 it/s (measured 2026-08-21). NSOL_TPU_COMPACT=1
+                # opts into the faster FULL-compact state (57.0 / 6.1
+                # it/s, 0.06% objective drift, ~1% voxel dev on TV flat
+                # directions); NSOL_TPU_EXACT=1 restores pure f32.
                 sd = (jnp.bfloat16 if os.environ.get("NSOL_TPU_COMPACT")
                       else None)
+                cd = (sd is None
+                      and not os.environ.get("NSOL_TPU_EXACT"))
                 blocked = blocked_admm_solve(
                     observed_nda.shape, cov, spacing=spacing,
                     iterations=args.iterations, iter_max=args.iter_max,
-                    interpret=interp, state_dtype=sd)
+                    interpret=interp, state_dtype=sd, compact_dirs=cd)
                 fused_jit = jit_closed(
                     lambda x0, a: blocked(bj, x0, a, rho0), (bj, a0))
             except ValueError:

@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nsol_tpu.ops import losses as lf
 from nsol_tpu.ops.pallas.blocked import (
     _Stencils, _load_ext_pipelined, _pick_layout, _conv_minor,
-    _lap_minor,
+    _lap_minor, _ext_dma_pre,
 )
 from nsol_tpu.ops.pallas.fused import banded_window_matrix
 
@@ -83,16 +83,19 @@ class _RobustStencils(_Stencils):
 
 
 def _lap_center(get, st, rho, i, block, ty, tx, r, precision,
-                lap_precision=None):
+                lap_precision=None, row0=None, z_total=None):
     """``ρ·DᵀD`` on a slab's ``block`` center rows — the Laplacian half
     of blocked.py::_normal_center (zero-boundary corrections of
-    ops/grad.py:108 at the global z edges)."""
-    Z = st.shape[0]
+    ops/grad.py:108 at the global z edges). Under spatial sharding the
+    slab is a window of a larger global z axis: ``row0`` (traced) is
+    the global row of local row 0, ``z_total`` the global extent."""
+    Z = st.shape[0] if z_total is None else z_total
     center = get(r, block)
     up = get(r + 1, block)
     down = get(r - 1, block)
     lz = 2.0 * center - up - down
-    rows = lax.broadcasted_iota(jnp.int32, (block, 1, 1), 0) + i * block
+    off = i * block if row0 is None else i * block + row0
+    rows = lax.broadcasted_iota(jnp.int32, (block, 1, 1), 0) + off
     first = lax.slice_in_dim(center, 0, 1, axis=0) \
         - lax.slice_in_dim(center, 1, 2, axis=0)
     last = 2.0 * lax.slice_in_dim(center, block - 1, block, axis=0) \
@@ -117,10 +120,39 @@ def _blur_rows(get, st, ay, ax, n_rows, precision):
     return _conv_minor(s, ax, 2, st.banded_x, precision)
 
 
+def _robust_layout(st, shape, r, n_ext, block, prepadded, dtype):
+    """(block, n_buf, nblk) for a robust streaming kernel; prepadded
+    tiny shards (CPU-mesh tests, many-way shardings) fall back to one
+    single-buffered block."""
+    Z, Y, X = shape
+    if block is None:
+        block, n_buf = _pick_layout(shape, r, dtype, n_ext=n_ext,
+                                    n_io=1, n_tmp=8)
+        if block is None and prepadded:
+            plane = Y * X * jnp.dtype(dtype).itemsize
+            if (n_ext + 1) * (Z + 2 * r) * plane + 8 * Z * plane \
+                    <= 112 * 1024 * 1024:
+                block, n_buf = Z, 1
+        if block is None:
+            raise ValueError("no z-block layout of shape %s fits the "
+                             "scoped-VMEM budget" % (shape,))
+    else:
+        n_buf = 2
+    if prepadded:
+        if Z % block:
+            raise ValueError("local z extent %d not divisible by block "
+                             "%d" % (Z, block))
+        nblk = Z // block
+    else:
+        nblk = st.validate_block(block)
+    return block, n_buf, nblk
+
+
 def make_blocked_blur_operator(shape, cov, alpha_cut=3, spacing=None,
                                block=None, dtype=jnp.float32,
                                precision=lax.Precision.HIGHEST,
-                               with_lap=False, interpret=False):
+                               with_lap=False, interpret=False,
+                               prepadded=False, z_total=None, vma=None):
     """Streaming z-blocked ``A v`` (separable wrap Gaussian blur) — and,
     with ``with_lap=True``, ``apply(y, u, rho) -> A y + rho·DᵀD u``:
     since the symmetric Gaussian has ``A = Aᵀ``, that second form IS the
@@ -129,21 +161,25 @@ def make_blocked_blur_operator(shape, cov, alpha_cut=3, spacing=None,
 
     Semantics match ops/conv.py's separable wrap blur and
     ops/grad.py::gradient_normal exactly; halos are the BLUR half-width
-    ``r_a`` (half the normal operator's)."""
+    ``r_a`` (half the normal operator's).
+
+    ``prepadded=True`` (the sharded per-shard form, as
+    blocked.py::make_blocked_normal_operator_prepadded): inputs arrive
+    with their z halos already attached (``ppermute`` ring exchange
+    under ``shard_map``), the slab DMA is one contiguous copy, and the
+    Laplacian's global-boundary rows are selected from the traced
+    ``row0`` / static ``z_total``; ``apply`` then takes
+    ``(y_ext[, u_ext], rho, row0)``."""
     st = _RobustStencils(shape, cov, alpha_cut, spacing, dtype)
     r = max(st.r_a, 1)  # the lap stencil needs at least one halo row
     n_ext = 2 if with_lap else 1
-    if block is None:
-        block, n_buf = _pick_layout(shape, r, dtype, n_ext=n_ext, n_io=1)
-        if block is None:
-            raise ValueError("no z-block layout of shape %s fits the "
-                             "scoped-VMEM budget" % (shape,))
-    else:
-        n_buf = 2
-    nblk = st.validate_block(block)
+    block, n_buf, nblk = _robust_layout(st, shape, r, n_ext, block,
+                                        prepadded, dtype)
     Z, Y, X = shape
+    z_total = int(z_total) if z_total is not None else Z
+    dma = _ext_dma_pre if prepadded else None
 
-    def kernel(sc_ref, ay_ref, ax_ref, ty_ref, tx_ref, *refs):
+    def kernel(sc_ref, row0_ref, ay_ref, ax_ref, ty_ref, tx_ref, *refs):
         if with_lap:
             y_hbm, u_hbm, out_ref, ext_y, ext_u, sem_y, sem_u = refs
             inputs = [(y_hbm, ext_y, sem_y), (u_hbm, ext_u, sem_u)]
@@ -152,13 +188,16 @@ def make_blocked_blur_operator(shape, cov, alpha_cut=3, spacing=None,
             inputs = [(y_hbm, ext_y, sem_y)]
         i = pl.program_id(0)
         slot = _load_ext_pipelined(inputs, i, nblk, Z, block, r,
-                                   n_buf=n_buf)
+                                   n_buf=n_buf, dma=dma)
         gety = lambda s0, n: ext_y[slot, pl.ds(s0 + (r - st.r_a), n)]
         q = _blur_rows(gety, st, ay_ref[:], ax_ref[:], block, precision)
         if with_lap:
             getu = lambda s0, n: ext_u[slot, pl.ds(s0, n)]
-            q = q + _lap_center(getu, st, sc_ref[0, 0], i, block,
-                                ty_ref[:], tx_ref[:], r, precision)
+            q = q + _lap_center(
+                getu, st, sc_ref[0, 0], i, block, ty_ref[:], tx_ref[:],
+                r, precision,
+                row0=row0_ref[0, 0] if prepadded else None,
+                z_total=z_total if prepadded else None)
         out_ref[:] = q
 
     const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
@@ -167,35 +206,48 @@ def make_blocked_blur_operator(shape, cov, alpha_cut=3, spacing=None,
     sem = lambda: pltpu.SemaphoreType.DMA((n_buf,))
     scratch = ([slab(), slab(), sem(), sem()] if with_lap
                else [slab(), sem()])
+    smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
     call = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            smem(), smem(),
             const(st.Ay.shape), const(st.Ax.shape),
             const(st.Ty.shape), const(st.Tx.shape),
             pl.BlockSpec(memory_space=pl.ANY),
         ] + ([pl.BlockSpec(memory_space=pl.ANY)] if with_lap else []),
         out_specs=pl.BlockSpec((block, Y, X), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            shape, dtype,
+            vma=frozenset(vma) if vma is not None else None),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )
 
-    if with_lap:
-        def apply(y, u, rho):
-            rr = jnp.full((1, 1), rho, dtype)
-            return call(rr, st.Ay, st.Ax, st.Ty, st.Tx,
-                        jnp.asarray(y, dtype), jnp.asarray(u, dtype))
-    else:
-        def apply(y):
-            rr = jnp.zeros((1, 1), dtype)
-            return call(rr, st.Ay, st.Ax, st.Ty, st.Tx,
-                        jnp.asarray(y, dtype))
+    def _call(y, u, rho, row0):
+        rr = jnp.full((1, 1), rho, dtype)
+        r0 = jnp.full((1, 1), row0, jnp.int32)
+        args = (rr, r0, st.Ay, st.Ax, st.Ty, st.Tx,
+                jnp.asarray(y, dtype))
+        if with_lap:
+            args += (jnp.asarray(u, dtype),)
+        return call(*args)
 
+    if prepadded and with_lap:
+        apply = lambda y_ext, u_ext, rho, row0: _call(y_ext, u_ext, rho,
+                                                      row0)
+    elif prepadded:
+        apply = lambda y_ext: _call(y_ext, None, 0.0, 0)
+    elif with_lap:
+        apply = lambda y, u, rho: _call(y, u, rho, 0)
+    else:
+        apply = lambda y: _call(y, None, 0.0, 0)
+
+    apply.halo = r
+    apply.block = block
     return apply
 
 
@@ -203,7 +255,9 @@ def make_blocked_weighted_normal_operator(shape, cov, alpha_cut=3,
                                           spacing=None, block=None,
                                           dtype=jnp.float32,
                                           precision=lax.Precision.HIGHEST,
-                                          interpret=False):
+                                          interpret=False,
+                                          prepadded=False, z_total=None,
+                                          vma=None):
     """Build ``apply(v, w, rho) -> Aᵀ(w ⊙ (A v)) + rho·DᵀD v`` streaming
     over z-blocks in ONE pass — the SPD apply of every IRLS inner-CG
     iteration on a robust deconvolution (the weighted normal equations
@@ -217,28 +271,28 @@ def make_blocked_weighted_normal_operator(shape, cov, alpha_cut=3,
     machinery) multiplies in VMEM, and the second (adjoint = identical,
     symmetric taps) blur pass plus the boundary-corrected Laplacian
     produce the center. One read of v + one of w + one write — vs 4
-    reads + 2 writes for the two-kernel split."""
+    reads + 2 writes for the two-kernel split.
+
+    ``prepadded=True``: sharded per-shard form — v and w arrive with
+    their ``r``-row z halos attached, the slab DMA is contiguous, and
+    the Laplacian's global-boundary rows come from the traced ``row0``
+    / static ``z_total``; ``apply`` takes ``(v_ext, w_ext, rho,
+    row0)``."""
     st = _RobustStencils(shape, cov, alpha_cut, spacing, dtype)
     r = st.halo  # = 2·r_a ≥ 2 — covers the lap's ±1 too
-    if block is None:
-        block, n_buf = _pick_layout(shape, r, dtype, n_ext=2, n_io=1,
-                                    n_tmp=8)
-        if block is None:
-            raise ValueError("no z-block layout of shape %s fits the "
-                             "scoped-VMEM budget for the weighted "
-                             "normal operator" % (shape,))
-    else:
-        n_buf = 2
-    nblk = st.validate_block(block)
+    block, n_buf, nblk = _robust_layout(st, shape, r, 2, block,
+                                        prepadded, dtype)
     Z, Y, X = shape
+    z_total = int(z_total) if z_total is not None else Z
     ra = st.r_a
+    dma = _ext_dma_pre if prepadded else None
 
-    def kernel(sc_ref, ay_ref, ax_ref, ty_ref, tx_ref, v_hbm, w_hbm,
-               out_ref, ext_v, ext_w, sem_v, sem_w):
+    def kernel(sc_ref, row0_ref, ay_ref, ax_ref, ty_ref, tx_ref, v_hbm,
+               w_hbm, out_ref, ext_v, ext_w, sem_v, sem_w):
         i = pl.program_id(0)
         slot = _load_ext_pipelined(
             [(v_hbm, ext_v, sem_v), (w_hbm, ext_w, sem_w)], i, nblk, Z,
-            block, r, n_buf=n_buf)
+            block, r, n_buf=n_buf, dma=dma)
         ay, ax = ay_ref[:], ax_ref[:]
         # pass 1: A v on the EXTENDED rows [-r_a, block + r_a) — slab
         # row s0 of the extended range maps to slab index s0 + (r - r_a)
@@ -255,25 +309,31 @@ def make_blocked_weighted_normal_operator(shape, cov, alpha_cut=3,
         q = _conv_minor(q, ay, 1, st.banded_y, precision)
         q = _conv_minor(q, ax, 2, st.banded_x, precision)
         getv = lambda s0, n: ext_v[slot, pl.ds(s0, n)]
-        q = q + _lap_center(getv, st, sc_ref[0, 0], i, block,
-                            ty_ref[:], tx_ref[:], r, precision)
+        q = q + _lap_center(
+            getv, st, sc_ref[0, 0], i, block, ty_ref[:], tx_ref[:], r,
+            precision,
+            row0=row0_ref[0, 0] if prepadded else None,
+            z_total=z_total if prepadded else None)
         out_ref[:] = q
 
     const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
                                      memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
     call = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            smem(), smem(),
             const(st.Ay.shape), const(st.Ax.shape),
             const(st.Ty.shape), const(st.Tx.shape),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((block, Y, X), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            shape, dtype,
+            vma=frozenset(vma) if vma is not None else None),
         scratch_shapes=[
             pltpu.VMEM((n_buf, block + 2 * r, Y, X), dtype),
             pltpu.VMEM((n_buf, block + 2 * r, Y, X), dtype),
@@ -285,11 +345,20 @@ def make_blocked_weighted_normal_operator(shape, cov, alpha_cut=3,
         interpret=interpret,
     )
 
-    def apply(v, w, rho):
+    def _call(v, w, rho, row0):
         rr = jnp.full((1, 1), rho, dtype)
-        return call(rr, st.Ay, st.Ax, st.Ty, st.Tx,
+        r0 = jnp.full((1, 1), row0, jnp.int32)
+        return call(rr, r0, st.Ay, st.Ax, st.Ty, st.Tx,
                     jnp.asarray(v, dtype), jnp.asarray(w, dtype))
 
+    if prepadded:
+        apply = lambda v_ext, w_ext, rho, row0: _call(v_ext, w_ext, rho,
+                                                      row0)
+    else:
+        apply = lambda v, w, rho: _call(v, w, rho, 0)
+
+    apply.halo = r
+    apply.block = block
     return apply
 
 

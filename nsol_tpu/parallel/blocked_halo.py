@@ -23,7 +23,8 @@ from jax import lax
 
 from nsol_tpu.parallel import halo as _halo
 
-__all__ = ["make_sharded_blocked_normal_operator"]
+__all__ = ["make_sharded_blocked_normal_operator",
+           "make_sharded_blocked_robust_operators"]
 
 
 def make_sharded_blocked_normal_operator(local_shape, cov, alpha_cut=3,
@@ -71,3 +72,64 @@ def make_sharded_blocked_normal_operator(local_shape, cov, alpha_cut=3,
     apply.halo = r
     apply.block = ap.block
     return apply
+
+
+def make_sharded_blocked_robust_operators(local_shape, cov, alpha_cut=3,
+                                          spacing=None,
+                                          axis_name="space", n_shards=1,
+                                          dtype=jnp.float32,
+                                          precision=None, interpret=False):
+    """Sharded forms of the streaming ROBUST kernels
+    (ops/pallas/robust.py, round 5): returns ``(blur, grad_W,
+    normal_W)`` with
+
+    * ``blur(x) -> A x`` (the per-sweep residual pass),
+    * ``grad_W(x, wr, alpha) -> Aᵀ(wr) + α·DᵀD x`` (the IRLS gradient,
+      one pass; A = Aᵀ for the symmetric Gaussian),
+    * ``normal_W(vf, wts, alpha) -> Aᵀ(wts·A vf) + α·DᵀD vf`` (the
+      one-pass weighted SPD apply of every inner-CG iteration),
+
+    each running the SAME Mosaic program as the single-chip robust path
+    over the shard's local z-window, with shard-edge wrap halos via
+    ``ppermute`` feeding the prepadded kernel forms and the global
+    Laplacian boundary rows selected from the shard's row offset. The
+    signatures match ``tikhonov_solve``'s ``A``/``grad_W``/``normal_W``
+    hook contract, so they plug straight into
+    ``admm_solve(minimizer="irls", ...)`` inside ``shard_map``."""
+    from nsol_tpu.ops.pallas.robust import (
+        make_blocked_blur_operator, make_blocked_weighted_normal_operator,
+    )
+
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    Zl = int(local_shape[0])
+    z_total = Zl * int(n_shards)
+    vma = None if interpret else (axis_name,)
+    kw = dict(alpha_cut=alpha_cut, spacing=spacing, dtype=dtype,
+              precision=precision, interpret=interpret, prepadded=True,
+              z_total=z_total, vma=vma)
+    blur_p = make_blocked_blur_operator(tuple(local_shape), cov, **kw)
+    blur_lap_p = make_blocked_blur_operator(tuple(local_shape), cov,
+                                            with_lap=True, **kw)
+    wnormal_p = make_blocked_weighted_normal_operator(
+        tuple(local_shape), cov, **kw)
+
+    def _ext(v, r):
+        return _halo.exchange_halo_wrap(v, axis_name, n_shards,
+                                        lo=r, hi=r, axis=0)
+
+    def _row0():
+        return lax.axis_index(axis_name) * Zl
+
+    def blur(x):
+        return blur_p(_ext(x, blur_p.halo))
+
+    def grad_W(x, wr, alpha):
+        rb = blur_lap_p.halo
+        return blur_lap_p(_ext(wr, rb), _ext(x, rb), alpha, _row0())
+
+    def normal_W(vf, wts, alpha):
+        rw = wnormal_p.halo
+        return wnormal_p(_ext(vf, rw), _ext(wts, rw), alpha, _row0())
+
+    return blur, grad_W, normal_W

@@ -149,7 +149,7 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
     else:
         separable = False
 
-    normal_A = normal_B = normal_M = None
+    normal_A = normal_B = normal_M = normal_W = grad_W = None
     check_vma = True
     if minimizer is None or minimizer == "cg":
         if minimizer == "cg" and (data_loss != "linear" or not separable):
@@ -219,6 +219,35 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
                         check_vma = False
                 except ValueError:
                     normal_M = None  # layout/blur outside kernel scope
+        if minimizer == "irls" and b.ndim == 3 \
+                and use_blocked is not False:
+            # robust counterpart (round 5): the streaming blocked
+            # weighted-normal/gradient kernels (ops/pallas/robust.py)
+            # composed with ppermute halos — same gating rationale as
+            # the linear branch above
+            import os
+
+            from nsol_tpu.parallel import blocked_halo
+            on_cpu = jax.default_backend() == "cpu"
+            auto = (not on_cpu
+                    and jax.process_count() > 1
+                    and int(np.prod(local_shape)) * b.dtype.itemsize
+                    >= 16 * 1024 * 1024)
+            if use_blocked or auto \
+                    or os.environ.get("NSOL_TPU_FORCE_BLOCKED"):
+                try:
+                    blur_s, grad_W, normal_W = blocked_halo \
+                        .make_sharded_blocked_robust_operators(
+                            local_shape, cov, alpha_cut=alpha_cut,
+                            spacing=spacing, axis_name=axis_name,
+                            n_shards=n_shards, dtype=b.dtype,
+                            precision=blocked_precision,
+                            interpret=on_cpu)
+                    A = A_adj = blur_s  # symmetric Gaussian: A = At
+                    if on_cpu:
+                        check_vma = False
+                except ValueError:
+                    pass  # layout/blur outside kernel scope
     else:
         A, A_adj = halo.make_sharded_blur_operators(
             cov, alpha_cut=alpha_cut, spacing=spacing, axis_name=axis_name,
@@ -232,7 +261,7 @@ def sharded_tv_admm_solve(mesh, cov, b, x0, alpha, rho, spacing=None,
             iterations=iterations, iter_max=iter_max, data_loss=data_loss,
             data_loss_scale=data_loss_scale, minimizer=minimizer,
             axis_name=axis_name, normal_A=normal_A, normal_B=normal_B,
-            normal_M=normal_M)
+            normal_M=normal_M, normal_W=normal_W, grad_W=grad_W)
         return x
 
     mapped = jax.shard_map(

@@ -391,3 +391,27 @@ def test_sharded_admm_blocked_matches_matmul_path(mesh, rng):
         mesh, cov, b, np.array(b), alpha=0.01, rho=0.5,
         iterations=4, iter_max=4, use_blocked=True))
     np.testing.assert_allclose(x_blk, x_ref, atol=2e-6, rtol=1e-5)
+
+
+def test_sharded_robust_admm_blocked_matches_matmul_path(mesh, rng):
+    """Round 5 (VERDICT r4 item 8): sharded_tv_admm_solve with a ROBUST
+    loss and use_blocked=True — the streaming blocked weighted-normal /
+    gradient kernels (ops/pallas/robust.py prepadded forms) composed
+    with ppermute halos — must converge to the sharded matmul-IRLS
+    path's solution."""
+    import scipy.ndimage as ndi
+
+    shape = (4 * N_DEV, 12, 10)
+    cov = np.diag([0.8, 0.8, 0.8]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    b = ndi.convolve(rng.rand(*shape), kern,
+                     mode="wrap").astype(np.float32)
+    b += (0.2 * (rng.rand(*shape) < 0.02)).astype(np.float32)
+
+    x_ref = np.asarray(sharded_tv_admm_solve(
+        mesh, cov, b, np.array(b), alpha=0.01, rho=0.5, iterations=3,
+        iter_max=3, data_loss="huber", use_blocked=False))
+    x_blk = np.asarray(sharded_tv_admm_solve(
+        mesh, cov, b, np.array(b), alpha=0.01, rho=0.5, iterations=3,
+        iter_max=3, data_loss="huber", use_blocked=True))
+    np.testing.assert_allclose(x_blk, x_ref, atol=2e-6, rtol=1e-5)
