@@ -618,27 +618,34 @@ def _ext_dma_2d(v_hbm, ext_slot, sem, i, j, nbz, nby, Z, Y, Bz, By, rz,
             y_cases(i * Bz - rz, 0, Bz + 2 * rz)
 
 
-def _load_ext_2d_pipelined(inputs, i, jy, nbz, nby, Z, Y, Bz, By, r, ry):
-    """Double-buffered 2-D wrap-halo loads over the row-major (i, jy)
-    grid: wait for the current block's slabs, prefetch the next grid
-    step's into the other slot. Returns the current slot index."""
+def _load_ext_2d_pipelined(inputs, i, jy, nbz, nby, Z, Y, Bz, By, r, ry,
+                           n_buf=2):
+    """Pipelined 2-D wrap-halo loads over the row-major (i, jy) grid:
+    wait for the current block's slabs, keep the prefetch pipeline
+    ``n_buf − 1`` grid steps deep. Returns the current slot index."""
     l = i * nby + jy
-    nb2 = jnp.asarray(2, l.dtype)
-    slot = lax.rem(l, nb2)
-    nxt = lax.rem(l + 1, nb2)
+    nb = jnp.asarray(n_buf, l.dtype)
+    slot = lax.rem(l, nb)
 
     @pl.when(l == 0)
-    def _():
-        for v_hbm, ext, sem in inputs:
-            _ext_dma_2d(v_hbm, ext.at[0], sem.at[0], i, jy, nbz, nby, Z,
-                        Y, Bz, By, r, ry, wait=False)
+    def _():  # warm-up: start the first n_buf − 1 grid steps
+        for k in range(min(n_buf - 1, nbz * nby)):
+            ik = jnp.asarray(k // nby, l.dtype)
+            jk = jnp.asarray(k % nby, l.dtype)
+            for v_hbm, ext, sem in inputs:
+                _ext_dma_2d(v_hbm, ext.at[k % n_buf], sem.at[k % n_buf],
+                            ik, jk, nbz, nby, Z, Y, Bz, By, r, ry,
+                            wait=False)
 
-    @pl.when(l + 1 < nbz * nby)
+    ahead = l + (n_buf - 1)
+
+    @pl.when(ahead < nbz * nby)
     def _():
-        i1 = (l + 1) // nby
-        j1 = lax.rem(l + 1, jnp.asarray(nby, l.dtype))
+        i1 = ahead // nby
+        j1 = lax.rem(ahead, jnp.asarray(nby, l.dtype))
         for v_hbm, ext, sem in inputs:
-            _ext_dma_2d(v_hbm, ext.at[nxt], sem.at[nxt], i1, j1, nbz,
+            _ext_dma_2d(v_hbm, ext.at[lax.rem(ahead, nb)],
+                        sem.at[lax.rem(ahead, nb)], i1, j1, nbz,
                         nby, Z, Y, Bz, By, r, ry, wait=False)
 
     for v_hbm, ext, sem in inputs:
@@ -695,7 +702,8 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
                                     z_block=32, y_block=128,
                                     dtype=jnp.float32,
                                     precision=lax.Precision.HIGHEST,
-                                    interpret=False, io_dtype=None):
+                                    interpret=False, io_dtype=None,
+                                    n_buf=2):
     """2-D (z, y)-blocked ``apply(v, rho) -> AᵀA v + rho·DᵀD v`` — the
     512-wide-plane variant of :func:`make_blocked_normal_operator`.
 
@@ -738,7 +746,8 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
         i = pl.program_id(0)
         jy = pl.program_id(1)
         slot = _load_ext_2d_pipelined([(v_hbm, ext, sem)], i, jy, nbz,
-                                      nby, Z, Y, Bz, By, r, ry)
+                                      nby, Z, Y, Bz, By, r, ry,
+                                      n_buf=n_buf)
         get = lambda s0, n: ext[slot, pl.ds(s0, n)].astype(dtype)
         q, _ = _normal_center_2d(
             get, st, rho_ref[0, 0], i, jy, Bz, By, r, ry,
@@ -761,8 +770,8 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
         out_specs=pl.BlockSpec((Bz, By, X), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct(shape, io_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), io_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_buf, Bz + 2 * r, By + 2 * ry, X), io_dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
