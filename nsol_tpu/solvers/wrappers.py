@@ -90,6 +90,41 @@ def _sharded_vmap_run(solve_one, arg_arrays, mesh):
     return fn(*args), n
 
 
+def _robust_streaming_hooks(shape, blur_cov, spacing):
+    """Build the past-VMEM robust streaming hooks (``normal_W``/
+    ``grad_W``, ops/pallas/robust.py) for a 3-D volume too large for the
+    fused VMEM kernel — the round-5 wiring that gives the wrapper
+    classes' IRLS path one-pass weighted applies at scale. Returns
+    ``(None, None)`` when out of scope (non-TPU backend without the
+    force flag, small volume, non-separable blur, no layout)."""
+    import os
+
+    from nsol_tpu.ops.pallas import fused as _fused
+
+    on_tpu = jax.default_backend() != "cpu"
+    interp = bool(os.environ.get("NSOL_TPU_FUSED_INTERPRET"))
+    force = bool(os.environ.get("NSOL_TPU_FORCE_BLOCKED"))
+    if (blur_cov is None or len(shape) != 3
+            or not (on_tpu or (interp and force))
+            or (_fused.fused_admm_fits_vmem(shape) and not force)):
+        return None, None
+    try:
+        from nsol_tpu.ops.pallas.robust import (
+            make_blocked_blur_operator,
+            make_blocked_weighted_normal_operator,
+        )
+
+        blur_lap = make_blocked_blur_operator(
+            shape, blur_cov, spacing=spacing, with_lap=True,
+            interpret=interp)
+        wnormal = make_blocked_weighted_normal_operator(
+            shape, blur_cov, spacing=spacing, interpret=interp)
+    except ValueError:
+        return None, None
+    return (lambda vf, wts, a: wnormal(vf, wts, a),
+            lambda x, wr, a: blur_lap(wr, x, a))
+
+
 def _make_record_fn(measures, x_scale):
     """Build a jittable ``x -> {name: scalar}`` evaluating observer measures
     on the *rescaled* iterate (observers see ``get_x()`` units;
@@ -125,6 +160,7 @@ class TikhonovLinearSolver(LinearSolver):
         # Fused normal operators for the minimizer="cg" fast path
         self._normal_A = normal_A
         self._normal_B = normal_B
+        self._normal_W = self._grad_W = None
         self._irls_cg_iters = int(irls_cg_iters)
         #: optional problem hints: set ``blur_cov`` (+``spacing``) and
         #: ``reg_kind`` ("TK0": B = I, "TK1": B = stacked gradient) ONLY
@@ -158,6 +194,13 @@ class TikhonovLinearSolver(LinearSolver):
         item 3)."""
         if minimizer not in ("cg", "irls") or self._blur_cov is None:
             return
+        if minimizer == "irls" and self._reg_kind == "TK1" \
+                and self._normal_W is None:
+            # past-VMEM 3-D robust: one-pass streaming weighted applies
+            # (round 5; None outside the kernels' scope)
+            self._normal_W, self._grad_W = _robust_streaming_hooks(
+                np.asarray(self._x0).shape, self._blur_cov,
+                self._spacing)
         if self._normal_A is None:
             from nsol_tpu.ops.conv import make_normal_blur_operator
 
@@ -196,7 +239,8 @@ class TikhonovLinearSolver(LinearSolver):
                     minimizer=minimizer, iter_max=self._iter_max,
                     bounds=self._bounds, normal_A=self._normal_A,
                     normal_B=self._normal_B,
-                    irls_cg_iters=self._irls_cg_iters)
+                    irls_cg_iters=self._irls_cg_iters,
+                    normal_W=self._normal_W, grad_W=self._grad_W)
 
             self._solve_cache[key] = jit_closed(fn, args)
         x = self._solve_cache[key](*args)
@@ -311,7 +355,8 @@ class TikhonovLinearSolver(LinearSolver):
                 minimizer=minimizer, iter_max=self._iter_max,
                 bounds=self._bounds, normal_A=self._normal_A,
                 normal_B=self._normal_B,
-                irls_cg_iters=self._irls_cg_iters)
+                irls_cg_iters=self._irls_cg_iters,
+                normal_W=self._normal_W, grad_W=self._grad_W)
             if record_fn is None:
                 return x, None
             recs = jax.tree_util.tree_map(
@@ -351,6 +396,7 @@ class ADMMLinearSolver(LinearSolver):
         # Fused normal operators for the minimizer="cg" fast path
         self._normal_A = normal_A
         self._normal_B = normal_B
+        self._normal_W = self._grad_W = None
         self._irls_cg_iters = int(irls_cg_iters)
         #: optional problem hints: set ``blur_cov`` (+``spacing``) ONLY
         #: when ``A`` is the Gaussian blur of that covariance and ``B``
@@ -390,6 +436,13 @@ class ADMMLinearSolver(LinearSolver):
         operators built automatically."""
         if minimizer not in ("cg", "irls") or self._blur_cov is None:
             return
+        if minimizer == "irls" and self._normal_W is None:
+            # past-VMEM 3-D robust x-updates: one-pass streaming
+            # weighted applies (round 5; the hint contract guarantees
+            # B is the stacked gradient, matching the kernels' ρ·DᵀD)
+            self._normal_W, self._grad_W = _robust_streaming_hooks(
+                np.asarray(self._x0).shape, self._blur_cov,
+                self._spacing)
         if self._normal_A is None:
             from nsol_tpu.ops.conv import make_normal_blur_operator
 
@@ -430,7 +483,8 @@ class ADMMLinearSolver(LinearSolver):
                     minimizer=minimizer, record_fn=record_fn,
                     record_trajectory=self._record_trajectory,
                     normal_A=self._normal_A, normal_B=self._normal_B,
-                    irls_cg_iters=self._irls_cg_iters)
+                    irls_cg_iters=self._irls_cg_iters,
+                    normal_W=self._normal_W, grad_W=self._grad_W)
 
             self._solve_cache[key] = jit_closed(fn, args)
         x, records = self._solve_cache[key](*args)
@@ -554,7 +608,8 @@ class ADMMLinearSolver(LinearSolver):
                 data_loss_scale=data_loss_scale,
                 minimizer=minimizer, record_fn=record_fn,
                 normal_A=self._normal_A, normal_B=self._normal_B,
-                irls_cg_iters=self._irls_cg_iters)
+                irls_cg_iters=self._irls_cg_iters,
+                normal_W=self._normal_W, grad_W=self._grad_W)
 
         (x_all, records), n = _sharded_vmap_run(
             solve_one, (alphas, rhos, dls), mesh)

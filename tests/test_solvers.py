@@ -836,3 +836,42 @@ def test_tikhonov_irls_streaming_hooks(rng):
         normal_W=lambda vf, wts, a: wnormal(vf, wts, a),
         grad_W=lambda x, wr, a: blur_lap(wr, x, a)))
     np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_wrapper_robust_streaming_hooks(monkeypatch):
+    """ADMMLinearSolver/TikhonovLinearSolver build the streaming robust
+    hooks (round 5) for past-VMEM 3-D robust problems — forced here via
+    the interpret+force envs on a small volume — and the hooked solve
+    matches the plain IRLS path."""
+    import jax
+
+    from nsol_tpu.ops.conv import make_blur_operators
+    from nsol_tpu.solvers.wrappers import ADMMLinearSolver
+
+    rng_l = np.random.RandomState(3)
+    shape = (16, 16, 16)
+    cov = np.diag([1.0] * 3)
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    b = ndi.convolve(rng_l.rand(*shape), kern,
+                     mode="wrap").astype(np.float32)
+    A, A_adj = make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+
+    def run():
+        s = ADMMLinearSolver(
+            A=A, A_adj=A_adj, b=np.array(b), B=Bg, B_adj=Bg_adj,
+            x0=np.array(b), alpha=0.01, rho=0.5, iterations=2,
+            iter_max=3, irls_cg_iters=4, data_loss="huber",
+            minimizer="irls", blur_cov=cov)
+        s.run()
+        return s, s.get_x()
+
+    s_plain, x_plain = run()
+    assert s_plain._normal_W is None  # no force → hooks out of scope
+
+    monkeypatch.setenv("NSOL_TPU_FUSED_INTERPRET", "1")
+    monkeypatch.setenv("NSOL_TPU_FORCE_BLOCKED", "1")
+    s_hook, x_hook = run()
+    assert s_hook._normal_W is not None
+    np.testing.assert_allclose(x_hook, x_plain, atol=2e-5)
