@@ -131,6 +131,11 @@ class _Stencils(object):
         Nx = circulant_matrix(nfac[2], X, np_dtype)
         Ty = laplacian_matrix(Y, s[1], np_dtype)
         Tx = laplacian_matrix(X, s[0], np_dtype)
+        # integer-valued Laplacians (unit spacing) are bf16-EXACT: on
+        # bf16-exact compact-state operands their matmul runs as ONE
+        # DEFAULT pass bit-identically ("exact1", round 5)
+        from nsol_tpu.ops.pallas.fused import bf16_exact
+        self.lap_exact = bf16_exact(Ty) and bf16_exact(Tx)
         self.Ny = wb(Ny) if self.banded_y else jnp.asarray(Ny)
         self.Nx = wb(Nx) if self.banded_x else jnp.asarray(Nx)
         self.Ty = wb(Ty) if self.banded_y else jnp.asarray(Ty)
@@ -282,6 +287,18 @@ def _pick_layout(shape, halo, dtype, n_ext, n_io, n_tmp=6,
     return None, None
 
 
+
+def _compact_lap_prec(st, io_dtype, precision, extra_exact=True):
+    """Laplacian matmul precision for compact-state kernels: bf16-exact
+    operands allow dropping high3's third pass ("high2"); when the
+    Laplacian MATRICES are bf16-exact too (unit spacing), the second
+    pass is also identically zero -> ONE DEFAULT pass ("exact1",
+    bit-identical; round 5)."""
+    if io_dtype == jnp.bfloat16 and precision == "high3":
+        return "exact1" if (st.lap_exact and extra_exact) else "high2"
+    return None
+
+
 def _conv_minor(u, mat, axis, banded, precision):
     """Circulant blur-normal matmul along a minor axis — dense or
     windowed-band (the wrap window is CORRECT for a circulant)."""
@@ -381,8 +398,7 @@ def make_blocked_normal_operator(shape, cov, alpha_cut=3, spacing=None,
     io_dtype = dtype if io_dtype is None else jnp.dtype(io_dtype)
     # compact-state slab values are bf16-exact → the Laplacian matmuls
     # run at "high2" (one fewer MXU pass, identical accuracy)
-    lap_prec = ("high2" if (io_dtype == jnp.bfloat16
-                            and precision == "high3") else None)
+    lap_prec = _compact_lap_prec(st, io_dtype, precision)
     if block is None:
         block = pick_z_block(shape, st.halo, dtype)
         if block is None:
@@ -724,8 +740,7 @@ def make_blocked_normal_operator_2d(shape, cov, alpha_cut=3, spacing=None,
     # Sized from the Y-axis band (halo_y), NOT the z halo — anisotropic
     # covariance (sigma_y != sigma_z) makes them differ.
     ry = -((-max(st.halo_y, 1)) // 8) * 8
-    lap_prec = ("high2" if (io_dtype == jnp.bfloat16
-                            and precision == "high3") else None)
+    lap_prec = _compact_lap_prec(st, io_dtype, precision)
     Bz, By = int(z_block), int(y_block)
     for n, B, h, name in ((Z, Bz, r, "z"), (Y, By, ry, "y")):
         if n % B or n // B < 2 or B < h:
@@ -968,8 +983,7 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
     # ``q_dtype``: the q output alone (compact-dirs "qf32" variant: q
     # feeds the f32 r recurrence exactly, at +2 bytes/voxel traffic)
     q_io = io_dtype if q_dtype is None else jnp.dtype(q_dtype)
-    lap_prec = ("high2" if (io_dtype == jnp.bfloat16
-                            and precision == "high3") else None)
+    lap_prec = _compact_lap_prec(st, io_dtype, precision)
     # Working set: 2 halo-extended inputs (r, p) × n_buf DMA slots + the
     # materialized p' slab + pipelined q out (2) + ~4 compute temporaries.
     # 512³ picks (block=8, n_buf=1); oversized planes (e.g. 1024² cuts)
@@ -1120,8 +1134,7 @@ def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
     """
     st = _Stencils(shape, cov, alpha_cut, spacing, dtype)
     io_dtype = dtype if io_dtype is None else jnp.dtype(io_dtype)
-    lap_prec = ("high2" if (io_dtype == jnp.bfloat16
-                            and precision == "high3") else None)
+    lap_prec = _compact_lap_prec(st, io_dtype, precision)
     # 3 halo-extended inputs (r, q, p) + p' slab + x in (2) + x'/r'/q'
     # pipelined outs (6) + ~4 temporaries. 256³ picks (16, 2); 512-wide
     # planes do NOT fit (use make_blocked_cg_step there).

@@ -90,6 +90,13 @@ def _minor_matmul(u, C, axis, ndim, precision=lax.Precision.HIGHEST):
         d = lax.Precision.DEFAULT
         return (_minor_matmul(u, C_hi, axis, ndim, d)
                 + _minor_matmul(u, C - C_hi, axis, ndim, d))
+    if precision == "exact1":
+        # caller guarantees BOTH operands are bf16-exact (compact-state
+        # slab values AND an integer-valued matrix — e.g. the Laplacian
+        # at unit spacing, verified host-side via :func:`bf16_exact`):
+        # high2's second pass ``u·(C−C_hi)`` is identically zero too —
+        # ONE DEFAULT pass, bit-identical (round 5)
+        return _minor_matmul(u, C, axis, ndim, lax.Precision.DEFAULT)
     kw = dict(preferred_element_type=u.dtype, precision=precision)
     if axis == ndim - 1:
         return lax.dot_general(u, C, (((ndim - 1,), (1,)), ((), ())), **kw)
@@ -111,6 +118,18 @@ def _roll_conv_axis0(u, taps):
         t = (u if j == c else jnp.roll(u, j - c, axis=0)) * k
         out = t if out is None else out + t
     return out
+
+
+def bf16_exact(M):
+    """True when every entry of ``M`` is exactly representable in
+    bfloat16 (e.g. the integer-valued Laplacian matrices at unit
+    spacing) — the host-side gate for the ``"exact1"`` single-pass
+    matmul mode."""
+    import ml_dtypes
+
+    M32 = np.asarray(M, np.float32)
+    return bool(np.all(
+        M32 == M32.astype(ml_dtypes.bfloat16).astype(np.float32)))
 
 
 def difference_matrix(n, dtype=np.float32):
@@ -213,6 +232,12 @@ def _banded_window_matmul(u, W, axis, ndim, precision):
     kw = dict(preferred_element_type=u.dtype, precision=precision)
 
     def win_dot(win):
+        if precision == "exact1":
+            # both operands bf16-exact (see _minor_matmul) — one pass
+            return lax.dot_general(
+                win, W, (((ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=u.dtype,
+                precision=lax.Precision.DEFAULT)
         if precision in ("high3", "high2"):
             w_hi = W.astype(jnp.bfloat16).astype(W.dtype)
             u_hi = win.astype(jnp.bfloat16).astype(win.dtype)
@@ -431,7 +456,12 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
     # accumulation, not bf16-exact).
     if compact_dirs and precision != "high3":
         raise ValueError("compact_dirs requires precision='high3'")
-    lap_dir_prec = "high2" if compact_dirs else precision
+    # bf16-exact Laplacian matrices (unit spacing) drop high2's second
+    # (identically-zero) pass too -> ONE DEFAULT pass, bit-identical
+    lap_dir_prec = precision
+    if compact_dirs:
+        lap_dir_prec = ("exact1" if all(bf16_exact(T) for T in T_mats)
+                        else "high2")
 
     def lap(u, T_m, prec=precision):
         out = None

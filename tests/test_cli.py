@@ -301,6 +301,9 @@ def test_run_deconvolution_blocked_path_matches_xla_cli(tmp_path):
     env["NSOL_TPU_FUSED_INTERPRET"] = "1"
     env["NSOL_TPU_FORCE_BLOCKED"] = "1"
     env["PYTHONPATH"] = REPO
+    # NSOL_TPU_EXACT=1: pure-f32 blocked state for the strict parity leg
+    # (the CLI DEFAULT is compact_dirs since round 5)
+    env["NSOL_TPU_EXACT"] = "1"
     p = subprocess.run(
         [sys.executable] + base + ["--result", out_blocked], env=env,
         cwd=REPO, capture_output=True, text=True, timeout=600)
@@ -310,9 +313,21 @@ def test_run_deconvolution_blocked_path_matches_xla_cli(tmp_path):
     scale = max(1.0, float(np.abs(a).max()))
     assert np.max(np.abs(a - b)) / scale < 5e-5
 
-    # NSOL_TPU_COMPACT=1 opts into bf16 CG state: objective-equal class
-    # but voxel-level deviations up to ~1-2% (TV flat directions) —
-    # which is why it is NOT the CLI default
+    # the compact_dirs DEFAULT (round 5): voxel deviations stay in the
+    # rounded-direction class (~2e-4-grade), 25-50x tighter than the
+    # full-compact opt-in below
+    env.pop("NSOL_TPU_EXACT")
+    out_dirs = str(tmp_path / "blocked_dirs.nii.gz")
+    p = subprocess.run(
+        [sys.executable] + base + ["--result", out_dirs], env=env,
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-2000:]
+    d = read_nifti(out_dirs).data
+    assert np.max(np.abs(a - d)) / scale < 1e-3
+
+    # NSOL_TPU_COMPACT=1 opts into the faster FULL bf16 CG state:
+    # objective-equal class but voxel-level deviations up to ~1-2% (TV
+    # flat directions) — which is why it is the opt-in, not the default
     env["NSOL_TPU_COMPACT"] = "1"
     out_compact = str(tmp_path / "blocked_compact.nii.gz")
     p = subprocess.run(
