@@ -148,7 +148,10 @@ def main():
             # HIGHEST-precision kernel (bit-class parity with the XLA
             # path).
             exact = bool(os.environ.get("NSOL_TPU_EXACT"))
-            fast_kw = ({} if exact or args.data_loss != "linear"
+            # round 5: compact_dirs covers the robust IRLS kernel too
+            # (bf16-exact inner-CG directions -> high2 first-pass blur
+            # matmuls + exact1 Laplacian; interpret-mode parity 7e-7)
+            fast_kw = ({} if exact
                        else {"precision": "high3", "compact_dirs": True})
             fused_admm = _fused.make_fused_admm_solver(
                 observed_nda.shape, cov, spacing=spacing,

@@ -124,9 +124,14 @@ def bf16_exact(M):
     """True when every entry of ``M`` is exactly representable in
     bfloat16 (e.g. the integer-valued Laplacian matrices at unit
     spacing) — the host-side gate for the ``"exact1"`` single-pass
-    matmul mode."""
+    matmul mode. ``NSOL_TPU_NO_EXACT1=1`` disables the mode (A/B
+    probes + safety escape)."""
+    import os
+
     import ml_dtypes
 
+    if os.environ.get("NSOL_TPU_NO_EXACT1"):
+        return False
     M32 = np.asarray(M, np.float32)
     return bool(np.all(
         M32 == M32.astype(ml_dtypes.bfloat16).astype(np.float32)))
@@ -558,8 +563,29 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
                 return free * (conv_all(wts * Auf, A_taps, A_m)
                                + rho * lap(uf, T_m)) + (u - uf)
 
-            step = _cg_inkernel(apply_W, -free * g, jnp.zeros_like(x),
-                                irls_cg_iters)
+            def apply_W_dir(u):
+                # compact_dirs: u is a bf16-exact rounded inner-CG
+                # direction and the {0,1} mask preserves exactness, so
+                # the FIRST blur pass's minor matmuls run at "high2"
+                # directly on uf (blur reorder: matmuls before the
+                # z-tap accumulation, free in the VMEM kernel) and the
+                # Laplacian at lap_dir_prec; the second pass's operand
+                # wts·A(uf) is f32 and keeps ``precision``.
+                uf = free * u
+                s = uf
+                for k, Cm in enumerate(A_m):
+                    s = _minor_matmul(s, Cm, n_stencil + k, ndim,
+                                      "high2")
+                for t in A_taps:
+                    s = _roll_conv_axis0(s, t)
+                return free * (conv_all(wts * s, A_taps, A_m)
+                               + rho * lap(uf, T_m, lap_dir_prec)) \
+                    + (u - uf)
+
+            step = _cg_inkernel(
+                apply_W, -free * g, jnp.zeros_like(x), irls_cg_iters,
+                apply_dir=apply_W_dir if compact_dirs else None,
+                round_dir=round_dir if compact_dirs else None)
             return jnp.maximum(x + step, 0.0)
 
         def write_measures(t, u):

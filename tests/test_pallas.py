@@ -1306,3 +1306,31 @@ def test_blocked_compact_dirs(rng):
         blocked_admm_solve(shape, cov, interpret=True,
                            compact_dirs=True,
                            state_dtype=jnp.bfloat16)
+
+
+def test_fused_robust_compact_dirs(rng):
+    """compact_dirs on the fused robust-IRLS kernel (round 5): the
+    bf16-exact inner-CG directions let the first-pass blur matmuls run
+    "high2" and the Laplacian "exact1" — the result must stay in the
+    f32-noise class of the exact-HIGHEST kernel."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.ops.pallas.fused import make_fused_admm_solver
+
+    shape = (64, 64)
+    cov = np.diag([1.0, 1.0])
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(2))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = ndi.convolve(x_true, kern, mode="wrap").astype(np.float32)
+    b += 0.05 * rng.randn(*shape).astype(np.float32)
+
+    def run(**kw):
+        s = make_fused_admm_solver(shape, cov, iterations=4, iter_max=3,
+                                   data_loss="huber", irls_cg_iters=4,
+                                   interpret=True, **kw)
+        return np.asarray(s(b, b, 0.01, 0.5, data_loss_scale=1.0))
+
+    x0 = run()
+    x1 = run(precision="high3", compact_dirs=True)
+    assert np.abs(x1 - x0).max() / np.abs(x0).max() < 1e-4
