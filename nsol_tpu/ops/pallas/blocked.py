@@ -327,7 +327,7 @@ def _lap_minor(u, mat, axis, banded, inv_h2, precision):
 
 
 def _normal_center(get, st, rho, i, block, refs, precision, row0=None,
-                   z_total=None, lap_precision=None):
+                   z_total=None, lap_precision=None, blur_reorder=None):
     """``(AᵀA + ρ·DᵀD)`` of a halo-extended slab, evaluated on its
     ``block`` center rows. ``get(start, size)`` returns slab rows
     ``[start, start+size)`` — callers pass views of ONE materialized
@@ -337,19 +337,42 @@ def _normal_center(get, st, rho, i, block, refs, precision, row0=None,
     slab is a window of a LARGER z axis: ``row0`` (traced scalar) is the
     global row of local row 0 and ``z_total`` the global z extent, so
     the Laplacian's global-boundary corrections land on the right
-    shard."""
+    shard.
+
+    ``blur_reorder`` (round 5, compact-state probes): run the blur
+    circulant matmuls BEFORE the z-tap accumulation — on the EXTENDED
+    ``block + 2r`` slab rows, which in compact modes are bf16-exact —
+    at the given precision string ("high2" = 2 passes bit-identical to
+    high3, "default1" = 1 DEFAULT pass: the blur OPERATOR rounds to
+    bf16, a ~2⁻⁹ systematic operator perturbation whose objective
+    impact must be measured). The extended-row cost is
+    ``(B + 2r)/B`` more matmul rows; at ``"default1"`` the net MACs
+    drop ~2.4× vs the center-rows high3 form."""
     ny, nx, ty, tx = refs
     Z = st.shape[0] if z_total is None else z_total
     r = st.halo
 
-    # blur normal: z taps first (consume the halo), then the MXU
-    # circulant matmuls on the remaining block rows only
-    qa = None
-    for t in range(2 * r + 1):
-        term = st.z_taps[t] * get(t, block)
-        qa = term if qa is None else qa + term
-    qa = _conv_minor(qa, ny, 1, st.banded_y, precision)
-    qa = _conv_minor(qa, nx, 2, st.banded_x, precision)
+    if blur_reorder is not None:
+        # matmuls first on the bf16-exact extended slab, z taps after
+        prec1 = (lax.Precision.DEFAULT if blur_reorder == "default1"
+                 else blur_reorder)
+        s_ext = get(0, block + 2 * r)
+        s_ext = _conv_minor(s_ext, ny, 1, st.banded_y, prec1)
+        s_ext = _conv_minor(s_ext, nx, 2, st.banded_x, prec1)
+        qa = None
+        for t in range(2 * r + 1):
+            term = st.z_taps[t] * lax.slice_in_dim(
+                s_ext, t, t + block, axis=0)
+            qa = term if qa is None else qa + term
+    else:
+        # blur normal: z taps first (consume the halo), then the MXU
+        # circulant matmuls on the remaining block rows only
+        qa = None
+        for t in range(2 * r + 1):
+            term = st.z_taps[t] * get(t, block)
+            qa = term if qa is None else qa + term
+        qa = _conv_minor(qa, ny, 1, st.banded_y, precision)
+        qa = _conv_minor(qa, nx, 2, st.banded_x, precision)
 
     # ρ · DᵀD on the center rows: zero-boundary corrections at the global
     # edges (the halo holds wrapped values the Laplacian must not see):
@@ -952,7 +975,7 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
                          block=None, dtype=jnp.float32,
                          precision=lax.Precision.HIGHEST,
                          interpret=False, n_buf=None, io_dtype=None,
-                         r_dtype=None, q_dtype=None):
+                         r_dtype=None, q_dtype=None, blur_reorder=None):
     """Build the fused CG hot step
     ``step(r, p, beta, rho) -> (p_new, q, pq)`` with
     ``p_new = r + β·p``, ``q = (AᵀA + ρDᵀD) p_new``, ``pq = Σ p_new·q`` —
@@ -1045,7 +1068,7 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
         q, pn_center = _normal_center(
             get, st, rho, i, block,
             (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision,
-            lap_precision=lap_prec)
+            lap_precision=lap_prec, blur_reorder=blur_reorder)
         q_ref[:] = q.astype(q_io)
         # per-block partial dot; (1, 8, 128) broadcast satisfies the
         # Mosaic (8, 128) minor-dims tiling rule for blocked outputs
@@ -1256,7 +1279,7 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
                        iterations=10, iter_max=10, dtype=jnp.float32,
                        precision=lax.Precision.HIGHEST, block=None,
                        interpret=False, mode="auto", state_dtype=None,
-                       compact_dirs=False):
+                       compact_dirs=False, blur_reorder=None):
     """Build ``solve(b, x0, alpha, rho) -> x``: ADMM TV-L2 deconvolution
     for volumes past VMEM, fully streaming.
 
@@ -1353,7 +1376,8 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             dtype=dtype, precision=precision, interpret=interpret,
             io_dtype=io,
             r_dtype=(dtype if compact_dirs else None),
-            q_dtype=(dtype if compact_dirs == "qf32" else None))
+            q_dtype=(dtype if compact_dirs == "qf32" else None),
+            blur_reorder=blur_reorder)
     elif mode == "step2d":
         if io != dtype:
             raise ValueError("state_dtype is not supported for "
