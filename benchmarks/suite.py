@@ -841,7 +841,9 @@ def config_scale_256cubed_robust_blocked():
         return x
 
     legs = [("xla", None)]
-    legs += [("blocked", {}), ("blocked_high3", {"precision": "high3"})]
+    legs += [("blocked", {}), ("blocked_high3", {"precision": "high3"}),
+             ("blocked_high3_dirs", {"precision": "high3",
+                                     "compact_dirs": True})]
     for tag, kw in legs:
         if kw is None:
             f = jit_closed(xla_solve, (b, b))
@@ -1056,7 +1058,8 @@ def main():
         # converged objectives
         ox = out.get("objective_xla")
         for key, tol in (("objective_blocked", 1e-3),
-                         ("objective_blocked_high3", 1.5e-3)):
+                         ("objective_blocked_high3", 1.5e-3),
+                         ("objective_blocked_high3_dirs", 1.5e-3)):
             ob_r = out.get(key)
             if ox is not None and ob_r is not None \
                     and abs(ob_r - ox) > tol * abs(ox):

@@ -177,7 +177,10 @@ def main():
                     observed_nda.shape, cov, spacing=spacing,
                     iterations=args.iterations, iter_max=args.iter_max,
                     irls_cg_iters=args.irls_cg_iters,
-                    data_loss=args.data_loss, interpret=interp)
+                    data_loss=args.data_loss, interpret=interp,
+                    # compact robust directions default on (round 5);
+                    # NSOL_TPU_EXACT=1 restores the all-f32 kernels
+                    compact_dirs=not os.environ.get("NSOL_TPU_EXACT"))
                 fused_jit = jit_closed(
                     lambda x0, a: rsolve(bj, x0, a, rho0,
                                          data_loss_scale=dls0),
