@@ -120,14 +120,18 @@ def _blur_rows(get, st, ay, ax, n_rows, precision):
     return _conv_minor(s, ax, 2, st.banded_x, precision)
 
 
-def _robust_layout(st, shape, r, n_ext, block, prepadded, dtype):
+def _robust_layout(st, shape, r, n_ext, block, prepadded, dtype,
+                   slab_dtype=None):
     """(block, n_buf, nblk) for a robust streaming kernel; prepadded
     tiny shards (CPU-mesh tests, many-way shardings) fall back to one
-    single-buffered block."""
+    single-buffered block. ``slab_dtype``: the DMA'd slab dtype when it
+    differs (compact bf16 halves slab residency — unlocks the 512³
+    1-D layout that f32 cannot fit, albeit single-buffered)."""
     Z, Y, X = shape
     if block is None:
         block, n_buf = _pick_layout(shape, r, dtype, n_ext=n_ext,
-                                    n_io=1, n_tmp=8)
+                                    n_io=1, n_tmp=8,
+                                    slab_dtype=slab_dtype)
         if block is None and prepadded:
             plane = Y * X * jnp.dtype(dtype).itemsize
             if (n_ext + 1) * (Z + 2 * r) * plane + 8 * Z * plane \
@@ -294,7 +298,8 @@ def make_blocked_weighted_normal_operator(shape, cov, alpha_cut=3,
                 if io == jnp.bfloat16 else None)
     r = st.halo  # = 2·r_a ≥ 2 — covers the lap's ±1 too
     block, n_buf, nblk = _robust_layout(st, shape, r, 2, block,
-                                        prepadded, dtype)
+                                        prepadded, dtype,
+                                        slab_dtype=io)
     Z, Y, X = shape
     z_total = int(z_total) if z_total is not None else Z
     ra = st.r_a
@@ -420,9 +425,20 @@ def blocked_robust_admm_solve(shape, cov, alpha_cut=3, spacing=None,
     blur = make_blocked_blur_operator(
         shape, cov, alpha_cut=alpha_cut, spacing=spacing, dtype=dtype,
         precision=precision, interpret=interpret)
-    blur_lap = make_blocked_blur_operator(
-        shape, cov, alpha_cut=alpha_cut, spacing=spacing, dtype=dtype,
-        precision=precision, with_lap=True, interpret=interpret)
+    try:
+        blur_lap = make_blocked_blur_operator(
+            shape, cov, alpha_cut=alpha_cut, spacing=spacing,
+            dtype=dtype, precision=precision, with_lap=True,
+            interpret=interpret)
+    except ValueError:
+        # 512³-class: the two-input fused gradient pass exceeds the
+        # VMEM budget in f32 — compose the (fitting) blur kernel with
+        # the exact XLA Laplacian instead (still one streamed volume
+        # read each; the gradient stays exact-f32 either way)
+        from nsol_tpu.ops import grad as _G
+
+        blur_lap = lambda y, u, rho: blur(y) \
+            + rho * _G.gradient_normal(u, spacing)
     # compact_dirs (round 5): the inner-CG directions, the frozen
     # weights, and q stream through the weighted kernel in bf16 (r/x/g
     # and the per-sweep residual stay f32, computed by the exact f32
