@@ -63,8 +63,10 @@ def main():
     legs = [("blocked_dirs_high3", dict(precision="high3",
                                         compact_dirs=True))]
     if "--with-xla" in sys.argv:
-        # the XLA leg's (3, 512^3) dual fields + br push HBM to the
-        # edge (one observed worker crash); opt-in only
+        # the XLA leg runs fine ALONE (measured 0.40 it/s vs the
+        # blocked 0.97) but the two legs' summed HBM footprint crashed
+        # the worker when run in one process — keep it opt-in and run
+        # the legs in separate processes
         legs.append(("xla_matmul_irls", None))
     for tag, kw in legs:
         try:
