@@ -1139,7 +1139,8 @@ def make_blocked_cg_step(shape, cov, alpha_cut=3, spacing=None,
 def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
                           block=None, dtype=jnp.float32,
                           precision=lax.Precision.HIGHEST,
-                          interpret=False, n_buf=None, io_dtype=None):
+                          interpret=False, n_buf=None, io_dtype=None,
+                          blur_reorder=None):
     """Build the FULLY fused CG sweep: one streaming pass per CG iteration
     that touches HBM exactly once per array.
 
@@ -1213,7 +1214,7 @@ def make_blocked_cg_sweep(shape, cov, alpha_cut=3, spacing=None,
         qn, pn_center = _normal_center(
             get, st, rho, i, block,
             (ny_ref[:], nx_ref[:], ty_ref[:], tx_ref[:]), precision,
-            lap_precision=lap_prec)
+            lap_precision=lap_prec, blur_reorder=blur_reorder)
         r_center = (ext_r[slot, pl.ds(r_h, block)].astype(dtype)
                     - a_prev
                     * ext_q[slot, pl.ds(r_h, block)].astype(dtype))
@@ -1391,7 +1392,7 @@ def blocked_admm_solve(shape, cov, alpha_cut=3, spacing=None,
         cg_sweep = make_blocked_cg_sweep(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,
             dtype=dtype, precision=precision, interpret=interpret,
-            io_dtype=io)
+            io_dtype=io, blur_reorder=blur_reorder)
     elif mode == "step":
         cg_step = make_blocked_cg_step(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing, block=block,

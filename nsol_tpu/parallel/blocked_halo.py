@@ -78,7 +78,8 @@ def make_sharded_blocked_robust_operators(local_shape, cov, alpha_cut=3,
                                           spacing=None,
                                           axis_name="space", n_shards=1,
                                           dtype=jnp.float32,
-                                          precision=None, interpret=False):
+                                          precision=None, interpret=False,
+                                          io_dtype=None):
     """Sharded forms of the streaming ROBUST kernels
     (ops/pallas/robust.py, round 5): returns ``(blur, grad_W,
     normal_W)`` with
@@ -111,8 +112,11 @@ def make_sharded_blocked_robust_operators(local_shape, cov, alpha_cut=3,
     blur_p = make_blocked_blur_operator(tuple(local_shape), cov, **kw)
     blur_lap_p = make_blocked_blur_operator(tuple(local_shape), cov,
                                             with_lap=True, **kw)
+    # the CG hot apply optionally streams compact (io_dtype=bf16 —
+    # same default1/exact1 levers as the single-chip robust path); the
+    # residual/gradient kernels above stay exact f32
     wnormal_p = make_blocked_weighted_normal_operator(
-        tuple(local_shape), cov, **kw)
+        tuple(local_shape), cov, io_dtype=io_dtype, **kw)
 
     def _ext(v, r):
         return _halo.exchange_halo_wrap(v, axis_name, n_shards,
