@@ -55,10 +55,11 @@ from nsol_tpu.ops.pallas.blocked import (
     _Stencils, _load_ext_pipelined, _pick_layout, _conv_minor,
     _lap_minor, _ext_dma_pre,
 )
-from nsol_tpu.ops.pallas.fused import banded_window_matrix
+from nsol_tpu.ops.pallas.fused import banded_window_matrix, _minor_matmul
 
 __all__ = ["make_blocked_blur_operator",
            "make_blocked_weighted_normal_operator",
+           "make_blocked_weighted_normal_operator_2d",
            "blocked_robust_admm_solve"]
 
 
@@ -446,10 +447,22 @@ def blocked_robust_admm_solve(shape, cov, alpha_cut=3, spacing=None,
     # the linear compact_dirs mode: the MM sweep's gradient is exact,
     # only the inner SPD solve is slightly perturbed)
     io = jnp.dtype(jnp.bfloat16) if compact_dirs else dtype
-    wnormal = make_blocked_weighted_normal_operator(
-        shape, cov, alpha_cut=alpha_cut, spacing=spacing, dtype=dtype,
-        precision=precision, interpret=interpret,
-        io_dtype=(io if compact_dirs else None))
+    wnormal = None
+    if shape[1] >= 512:
+        # 512-wide planes: the 2-D (z, y)-blocked weighted kernel
+        # double-buffers where the 1-D layout only fits single-buffered
+        try:
+            wnormal = make_blocked_weighted_normal_operator_2d(
+                shape, cov, alpha_cut=alpha_cut, spacing=spacing,
+                dtype=dtype, precision=precision, interpret=interpret,
+                io_dtype=(io if compact_dirs else None))
+        except ValueError:
+            wnormal = None
+    if wnormal is None:
+        wnormal = make_blocked_weighted_normal_operator(
+            shape, cov, alpha_cut=alpha_cut, spacing=spacing, dtype=dtype,
+            precision=precision, interpret=interpret,
+            io_dtype=(io if compact_dirs else None))
     to_f = (lambda a: a) if io == dtype \
         else (lambda a: a.astype(dtype))
     to_io = (lambda a: a) if io == dtype \
@@ -520,3 +533,173 @@ def blocked_robust_admm_solve(shape, cov, alpha_cut=3, spacing=None,
         return x
 
     return solve
+
+
+def make_blocked_weighted_normal_operator_2d(shape, cov, alpha_cut=3,
+                                             spacing=None, z_block=None,
+                                             y_block=None,
+                                             dtype=jnp.float32,
+                                             precision=lax.Precision
+                                             .HIGHEST,
+                                             interpret=False,
+                                             io_dtype=None):
+    """2-D (z, y)-blocked ``apply(v, w, rho) -> Aᵀ(w ⊙ (A v)) + ρ·DᵀD v``
+    — the 512-wide-plane variant of
+    :func:`make_blocked_weighted_normal_operator`, whose 1-D layout only
+    fits those volumes single-buffered (no DMA/compute overlap).
+
+    The weighted structure needs pass-1 values on EXTENDED rows/cols
+    (z ±r_a, y ±r_a_y) before the weight multiplies; to keep every
+    Mosaic slice 8-aligned, pass 1's y conv is evaluated at the FULL
+    window width ``By + 2·ry`` via a window→window band matrix whose
+    first/last ``ry − r_a_y`` rows are never consumed (taps clipped),
+    the weight multiplies at full width, and pass 2's y band maps the
+    window to the ``By`` center exactly like the linear 2-D kernel.
+    ``io_dtype=jnp.bfloat16`` enables the compact levers (bf16 slabs,
+    one-DEFAULT-pass matmuls on the bf16-exact slab for pass 1 via the
+    matmul-first reorder, "exact1"/"high2" Laplacian)."""
+    from nsol_tpu.ops.pallas.blocked import (
+        _band_matrix, _ext_dma_2d, _load_ext_2d_pipelined,
+        pick_zy_blocks,
+    )
+
+    st = _RobustStencils(shape, cov, alpha_cut, spacing, dtype)
+    io = dtype if io_dtype is None else jnp.dtype(io_dtype)
+    lap_prec = (("exact1" if st.lap_exact else "high2")
+                if io == jnp.bfloat16 else None)
+    Z, Y, X = shape
+    r = st.halo          # z halo = 2·r_a
+    ra = st.r_a
+    ra_y = len(st.factors[1]) // 2
+    # sublane-dim DMA slices must be 8-aligned; the y halo must cover
+    # the NORMAL band half-width (pass1 ± pass2 = 2·r_a_y = halo_y)
+    ry = -((-max(st.halo_y, 1)) // 8) * 8
+    if z_block is None or y_block is None:
+        zb, yb = pick_zy_blocks(shape, r, dtype, n_ext=2,
+                                halo_y=st.halo_y, slab_dtype=io)
+        z_block = z_block or zb
+        y_block = y_block or yb
+    if z_block is None:
+        raise ValueError(
+            "no 2-D block layout of shape %s fits the scoped-VMEM "
+            "budget for the weighted normal operator" % (shape,))
+    Bz, By = int(z_block), int(y_block)
+    for n, B, h, name in ((Z, Bz, r, "z"), (Y, By, ry, "y")):
+        if n % B or n // B < 2 or B < h:
+            raise ValueError(
+                "%s axis %d must split into >=2 blocks of %d >= halo %d"
+                % (name, n, B, h))
+    nbz, nby = Z // Bz, Y // By
+
+    # pass-1 y conv at FULL window width: out[j] = Σ_d f_y[d]·win[j −
+    # r_a_y + d]; rows whose taps run off the window are never consumed
+    fy = np.asarray(st.factors[1], st.np_dtype)
+    win_w = By + 2 * ry
+    W1 = np.zeros((win_w, win_w), st.np_dtype)
+    for d, t in enumerate(fy):
+        for j in range(win_w):
+            c = j - ra_y + d
+            if 0 <= c < win_w:
+                W1[j, c] = t
+    W1 = jnp.asarray(W1)  # (out, in) — _minor_matmul contracts C[i, m]
+    # pass-2 y band: window → By center (same shape as the linear Wny)
+    W2 = jnp.asarray(_band_matrix(fy, By, ry, st.np_dtype))
+    # Laplacian y band + blur-normal x circulant / lap x from st
+    lap_taps = np.array([-1.0, 2.0, -1.0]) * float(st.inv_h2_y)
+    Wty = jnp.asarray(_band_matrix(lap_taps, By, ry, st.np_dtype))
+
+    def kernel(sc_ref, w1_ref, w2_ref, wty_ref, ax_ref, tx_ref, v_hbm,
+               w_hbm, out_ref, ext_v, ext_w, sem_v, sem_w):
+        i = pl.program_id(0)
+        jy = pl.program_id(1)
+        slot = _load_ext_2d_pipelined(
+            [(v_hbm, ext_v, sem_v), (w_hbm, ext_w, sem_w)], i, jy, nbz,
+            nby, Z, Y, Bz, By, r, ry)
+        ax, tx = ax_ref[:], tx_ref[:]
+        getv = lambda s0, n: ext_v[slot, pl.ds(s0, n)].astype(dtype)
+        # matmul-first (the convs commute): one DEFAULT pass on the
+        # bf16-exact slab in compact mode (pass-1 operator rounds to
+        # bf16; the caller's f32 outer gradient corrects — inexact
+        # Newton), full ``precision`` otherwise
+        p1 = (lax.Precision.DEFAULT if io == jnp.bfloat16
+              else precision)
+        s_all = getv(0, Bz + 2 * r)
+        s_all = _minor_matmul(s_all, w1_ref[:], 1, 3, p1)
+        s_all = _conv_minor(s_all, ax, 2, st.banded_x, p1)
+        # z taps onto extended-z center rows [-r_a, Bz + r_a)
+        s = None
+        for t in range(2 * ra + 1):
+            term = st.a_z[t] * lax.slice_in_dim(
+                s_all, t, t + Bz + 2 * ra, axis=0)
+            s = term if s is None else s + term
+        # weight at full y-window width (8-aligned slicing only on z)
+        s = s * ext_w[slot, pl.ds(r - ra, Bz + 2 * ra)].astype(dtype)
+        # pass 2: z taps to the Bz center, then y window→center band,
+        # then the x circulant — operand is f32 accumulation
+        q = None
+        for t in range(2 * ra + 1):
+            term = st.a_z[t] * lax.slice_in_dim(s, t, t + Bz, axis=0)
+            q = term if q is None else q + term
+        q = _minor_matmul(q, w2_ref[:], 1, 3, precision)
+        q = _conv_minor(q, ax, 2, st.banded_x, precision)
+
+        # ρ·DᵀD on the (Bz, By) center — as _normal_center_2d's lap
+        rho = sc_ref[0, 0]
+        zc = lambda s0: getv(s0, Bz)[:, ry:ry + By]
+        center = zc(r)
+        lz = 2.0 * center - zc(r + 1) - zc(r - 1)
+        rows = lax.broadcasted_iota(jnp.int32, (Bz, 1, 1), 0) + i * Bz
+        first = lax.slice_in_dim(center, 0, 1, axis=0) \
+            - lax.slice_in_dim(center, 1, 2, axis=0)
+        last = 2.0 * lax.slice_in_dim(center, Bz - 1, Bz, axis=0) \
+            - lax.slice_in_dim(center, Bz - 2, Bz - 1, axis=0)
+        lz = jnp.where(rows == 0, first, lz)
+        lz = jnp.where(rows == Z - 1, last, lz)
+        lp = precision if lap_prec is None else lap_prec
+        ly = _minor_matmul(getv(r, Bz), wty_ref[:], 1, 3, lp)
+        ycols = lax.broadcasted_iota(jnp.int32, (1, By, 1), 1) + jy * By
+        u0 = lax.slice_in_dim(center, 0, 1, axis=1)
+        u1 = lax.slice_in_dim(center, 1, 2, axis=1)
+        um1 = lax.slice_in_dim(center, By - 1, By, axis=1)
+        um2 = lax.slice_in_dim(center, By - 2, By - 1, axis=1)
+        ly = jnp.where(ycols == 0, (u0 - u1) * st.inv_h2_y, ly)
+        ly = jnp.where(ycols == Y - 1, (2.0 * um1 - um2) * st.inv_h2_y,
+                       ly)
+        lap = lz * st.inv_h2_z + ly \
+            + _lap_minor(center, tx, 2, st.banded_x, st.inv_h2_x, lp)
+        out_ref[:] = (q + rho * lap).astype(io)
+
+    const = lambda shp: pl.BlockSpec(shp, lambda i, j: (0,) * len(shp),
+                                     memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nbz, nby),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const(W1.shape), const(W2.shape), const(Wty.shape),
+            const(st.Ax.shape), const(st.Tx.shape),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((Bz, By, X), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, io),
+        scratch_shapes=[
+            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), io),
+            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), io),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def apply(v, w, rho):
+        rr = jnp.full((1, 1), rho, dtype)
+        return call(rr, W1, W2, Wty, st.Ax, st.Tx,
+                    jnp.asarray(v, io), jnp.asarray(w, io))
+
+    apply.halo = r
+    apply.block = Bz
+    return apply
