@@ -378,7 +378,7 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
                            data_loss="linear", irls_cg_iters=8,
                            record=False, interpret=False,
                            compact_dirs=False, pipelined_cg=False,
-                           blur_reorder=True):
+                           blur_reorder=True, diff_matmul=None):
     """Build ``solve(b, x0, alpha, rho) -> x`` as one Pallas program.
 
     ``record=True``: the kernel also records the deconvolution study's
@@ -445,6 +445,17 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
     lap0_inv_h2 = np.asarray(1.0 / s[ndim - 1] ** 2, np_dtype)
     # gradient component i differentiates array axis ndim-1-i, scaled 1/s[i]
     inv_s = [np.asarray(1.0 / s[i], np_dtype) for i in range(ndim)]
+    # diff_matmul (round 5): the prox/dual grad/div on the MINOR axes
+    # as bidiagonal MXU matmuls (the PD kernel's lesson — minor shifts
+    # are pathological Mosaic data movement) instead of the concat-
+    # slice _fwd_diff. Measured +16 % same-session on the latency-bound
+    # north-star; f32-faithful (_exact_bf16_matmul), dev 3e-6 class.
+    # Default: on with compact_dirs (the production config); the exact
+    # HIGHEST kernels keep the original form.
+    if diff_matmul is None:
+        diff_matmul = bool(compact_dirs)
+    D_mats = ([difference_matrix(shape[ax], np_dtype)
+               for ax in range(n_stencil, ndim)] if diff_matmul else [])
 
     def conv_all(u, taps, mats):
         for t in taps:
@@ -494,7 +505,10 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
         mats = [m[:] for m in mat_refs]
         A_m = mats[:len(A_mats)]
         N_m = mats[len(A_mats):len(A_mats) + len(N_mats)]
-        T_m = mats[len(A_mats) + len(N_mats):]
+        nT_end = len(A_mats) + len(N_mats) + len(T_mats)
+        T_m = mats[len(A_mats) + len(N_mats):nT_end]
+        D_m = mats[nT_end:nT_end + len(D_mats)]
+        DT_m = mats[nT_end + len(D_mats):]
 
         alpha = alpha_ref[0, 0]
         rho = rho_ref[0, 0]
@@ -502,13 +516,25 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
         x = x0_ref[:]
 
         def grad_comp(u, i):
-            return _fwd_diff(u, ndim - 1 - i) * inv_s[i]
+            ax = ndim - 1 - i
+            if diff_matmul and ax >= n_stencil:
+                t = _exact_bf16_matmul(u, D_m[ax - n_stencil], ax, ndim)
+            else:
+                t = _fwd_diff(u, ax)
+            return t * inv_s[i]
 
         def div_acc(comps):
             out = None
             for i in range(ndim):
-                t = _fwd_diff_adj(comps[i], ndim - 1 - i) * inv_s[i]
-                out = t if out is None else out + t
+                ax = ndim - 1 - i
+                if diff_matmul and ax >= n_stencil:
+                    t = _exact_bf16_matmul(comps[i],
+                                           DT_m[ax - n_stencil], ax,
+                                           ndim)
+                else:
+                    t = _fwd_diff_adj(comps[i], ax)
+                out = (t * inv_s[i] if out is None
+                       else out + t * inv_s[i])
             return out
 
         def apply_M(u):
@@ -637,7 +663,8 @@ def make_fused_admm_solver(shape, cov, alpha_cut=3, spacing=None,
         x, v, w = lax.fori_loop(0, iterations, outer, (x, v, w))
         out_ref[:] = x
 
-    mats = [jnp.asarray(m) for m in (A_mats + N_mats + T_mats)]
+    mats = [jnp.asarray(m) for m in (A_mats + N_mats + T_mats + D_mats
+                                     + [D.T.copy() for D in D_mats])]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
 
