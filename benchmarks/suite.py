@@ -207,28 +207,31 @@ def config2_lena_robust_deconv_fused():
     Bg, _ = G.make_gradient_operators()
     alpha = jnp.asarray(0.01, DTYPE)
 
-    fused = make_fused_admm_solver(blurred.shape, cov, iterations=10,
-                                   iter_max=3, data_loss="huber",
-                                   irls_cg_iters=6)
+    out = {"config": "lena256_huber_admm_irls_10it_fused"}
+    for tag, kw in (("", {}),
+                    ("_dirs", {"precision": "high3",
+                               "compact_dirs": True})):
+        fused = make_fused_admm_solver(blurred.shape, cov, iterations=10,
+                                       iter_max=3, data_loss="huber",
+                                       irls_cg_iters=6, **kw)
 
-    def solve(x0):
-        x = fused(b, x0, alpha, jnp.asarray(0.5, DTYPE),
-                  data_loss_scale=jnp.asarray(1.0, DTYPE))
-        r = (A(x) - b).reshape(-1)
-        g = Bg(x)
-        obj = 0.5 * jnp.sum(lf.huber(r * r, f_scale=1.0)) \
-            + alpha * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
-        return x, obj
+        def solve(x0):
+            x = fused(b, x0, alpha, jnp.asarray(0.5, DTYPE),
+                      data_loss_scale=jnp.asarray(1.0, DTYPE))
+            r = (A(x) - b).reshape(-1)
+            g = Bg(x)
+            obj = 0.5 * jnp.sum(lf.huber(r * r, f_scale=1.0)) \
+                + alpha * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
+            return x, obj
 
-    f = jit_closed(solve, (b,))
-    x0_out, obj = f(b)
-    np.asarray(x0_out)
-    objective = float(np.asarray(obj))
-    per = _chain_time(f, b, n=5)
-    return {"config": "lena256_huber_admm_irls_10it_fused",
-            "iters_per_sec": round(10 / per, 1),
-            "ms_per_solve": round(per * 1e3, 3),
-            "objective": round(objective, 2)}
+        f = jit_closed(solve, (b,))
+        x0_out, obj = f(b)
+        np.asarray(x0_out)
+        out["objective" + (tag or "")] = round(float(np.asarray(obj)), 2)
+        per = _chain_time(f, b, n=5)
+        out["iters_per_sec" + tag] = round(10 / per, 1)
+        out["ms_per_solve" + tag] = round(per * 1e3, 3)
+    return out
 
 
 def _batched_ab(tag, make_xla_one, make_fused_one, b, alphas, iters,
@@ -1076,6 +1079,8 @@ def main():
         # compact_dirs (round 5): r stays f32, so the objective must sit
         # in the f32-noise band of its anchor (measured IDENTICAL)
         anchor_d = o3 if o3 is not None else out.get("objective_f32")
+        if anchor_d is None:
+            anchor_d = out.get("objective")  # config-2 fused pair
         od = out.get("objective_high3_dirs", out.get("objective_dirs"))
         if anchor_d is not None and od is not None \
                 and abs(od - anchor_d) > 2e-4 * abs(anchor_d):
