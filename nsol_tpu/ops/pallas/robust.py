@@ -21,14 +21,19 @@ cost grows by ``(B + 2·r_A)/B`` on the first pass's minor matmuls —
 measured cheaper than the extra HBM round-trip of materializing
 ``A v``.
 
-Three builders:
+Builders:
 
 * :func:`make_blocked_blur_operator` — streaming ``A v`` (halo
   ``r_A``); ``with_lap=True`` adds ``+ ρ·DᵀD u`` of a second input (the
   IRLS gradient ``∇cost = Aᵀ(w·r) + ρ·DᵀD x`` in one pass, using
   ``A = Aᵀ`` for the symmetric Gaussian).
 * :func:`make_blocked_weighted_normal_operator` — ``M_W`` above, the
-  CG hot apply of every IRLS sweep.
+  CG hot apply of every IRLS sweep (1-D z-blocked);
+  :func:`make_blocked_weighted_normal_operator_2d` — its (z, y)-blocked
+  512-wide-plane form (double-buffered where the 1-D layout only fits
+  single-buffered). Both take ``io_dtype=jnp.bfloat16`` for the
+  compact levers (bf16 slabs, one-DEFAULT-pass matmul-first blur,
+  exact1/high2 Laplacian).
 * :func:`blocked_robust_admm_solve` — the full ADMM solve for robust
   TV-deconvolution past VMEM, mirroring
   ``admm_solve(minimizer="irls")`` guard for guard (MM sweeps freezing
