@@ -1371,3 +1371,78 @@ def test_blocked_weighted_normal_operator_2d(rng):
         shape, cov2, z_block=8, y_block=8, interpret=True)
     np.testing.assert_allclose(np.asarray(ap2(v, w, 0.7)), want2,
                                atol=2e-6)
+
+
+def test_blocked_compact_nonunit_spacing(rng):
+    """Non-unit spacing through the compact paths: the Laplacian
+    matrices are no longer bf16-exact, so "exact1" must gate OFF (the
+    high2 2-pass form takes over) and results must stay in the
+    rounded-direction class of the f32 path."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.ops.pallas.blocked import _Stencils, blocked_admm_solve
+
+    shape = (32, 16, 16)
+    cov = np.diag([1.0] * 3)
+    spacing = np.array([0.7, 0.9, 1.1])
+    st = _Stencils(shape, cov, 3, spacing, jnp.float32)
+    assert not st.lap_exact  # the gate must see non-exact matrices
+    st1 = _Stencils(shape, cov, 3, None, jnp.float32)
+    assert st1.lap_exact
+
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=spacing)
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = jnp.asarray(ndi.convolve(x_true, kern, mode="wrap")
+                    .astype(np.float32))
+
+    def run(**kw):
+        # sub-unit spacing widens the voxel-space blur halo past block
+        # 8 — let the layout picker choose (16 here)
+        s = blocked_admm_solve(shape, cov, spacing=spacing, iterations=4,
+                               iter_max=6, interpret=True, **kw)
+        return np.asarray(jax.jit(
+            lambda bi, x0: s(bi, x0, 0.01, 0.5))(b, b))
+
+    x_f32 = run(mode="step")
+    x_dirs = run(mode="step", compact_dirs=True)
+    sc = np.abs(x_f32).max()
+    # wider (sub-unit-spacing) blur + high2 fallback: still the
+    # rounded-direction class, an order below full-compact's ~1e-2
+    assert np.abs(x_dirs - x_f32).max() / sc < 2e-3
+
+
+def test_blocked_robust_anisotropic(rng):
+    """blocked_robust_admm_solve with anisotropic covariance (distinct
+    per-axis halos) + compact_dirs matches the XLA IRLS path."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K, grad as G
+    from nsol_tpu.ops.conv import make_blur_operators
+    from nsol_tpu.ops.pallas.robust import blocked_robust_admm_solve
+    from nsol_tpu.solvers.admm import admm_solve
+
+    shape = (32, 16, 16)
+    cov = np.diag([1.3, 0.8, 1.1]) ** 2
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = jnp.asarray(ndi.convolve(x_true, kern, mode="wrap")
+                    .astype(np.float32))
+    A, A_adj = make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+    Bg, Bg_adj = G.make_gradient_operators()
+    br = jnp.zeros((3,) + shape, jnp.float32)
+
+    x_xla, _ = jax.jit(lambda bi, x0: admm_solve(
+        A, A_adj, Bg, Bg_adj, bi, br, x0, 0.01, 0.5, iterations=3,
+        iter_max=3, data_loss="huber", minimizer="irls",
+        irls_cg_iters=4, normal_B=G.gradient_normal))(b, b)
+    for kw in ({}, {"compact_dirs": True}):
+        solve = blocked_robust_admm_solve(
+            shape, cov, iterations=3, iter_max=3, irls_cg_iters=4,
+            data_loss="huber", interpret=True, **kw)
+        x_blk = np.asarray(jax.jit(
+            lambda bi, x0: solve(bi, x0, 0.01, 0.5))(b, b))
+        tol = 5e-6 if not kw else 5e-4
+        assert np.abs(x_blk - np.asarray(x_xla)).max() \
+            / max(1e-6, np.abs(np.asarray(x_xla)).max()) < tol
