@@ -361,6 +361,58 @@ def config2_batched_ab():
                        dev_key="max_dev_vs_xla_robust")
 
 
+def config3_batched_ab():
+    """Config 3 (Shepp 64³ TVL2 ADMM 50×10) under the batched protocol
+    (round 5): does the fused VMEM kernel keep its edge once dispatch
+    latency is amortized — the 3-D counterpart of the config-1/2
+    batched records. 16 alphas per dispatch, chained rounds."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.data import path as data_path
+    from nsol_tpu.io import read_nifti
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.ops import matmul_ops as MM
+    from nsol_tpu.ops.pallas.fused import make_fused_admm_solver
+
+    img = read_nifti(data_path("3D_SheppLoganPhantom_64.nii.gz"))
+    x_true = img.data.astype(np.float64)
+    shape = x_true.shape
+    cov = np.diag([1.0] * 3)
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    b = jnp.asarray(ndi.convolve(x_true, kern, mode="wrap")
+                    .astype(DTYPE))
+    alphas = jnp.linspace(0.005, 0.02, 16, dtype=DTYPE)
+    A, A_adj = C.make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                     method="auto", dtype=DTYPE)
+    nA = C.make_normal_blur_operator(cov, alpha_cut=3, shape=shape,
+                                     dtype=DTYPE)
+    nB = MM.matmul_gradient_normal_fn(shape, dtype=DTYPE)
+    Bg, Bg_adj = G.make_gradient_operators()
+    br = jnp.zeros((3,) + shape, DTYPE)
+    rho = jnp.asarray(0.5, DTYPE)
+
+    def make_xla_one():
+        def one(alpha, x0):
+            x, _ = _admm.admm_solve(
+                A, A_adj, Bg, Bg_adj, b, br, x0, alpha, rho,
+                iterations=50, iter_max=10, minimizer="cg",
+                normal_A=nA, normal_B=nB)
+            return x
+
+        return one
+
+    def make_fused_one():
+        fused = make_fused_admm_solver(shape, cov, iterations=50,
+                                       iter_max=10)
+        return lambda alpha, x0: fused(b, x0, alpha, rho)
+
+    # 50-iteration 3-D trajectories accumulate more f32 divergence than
+    # the 2-D pairs — gate under the looser robust key (1e-3)
+    return _batched_ab("shepp64_tvl2_admm_50it_batched16",
+                       make_xla_one, make_fused_one, b, alphas, 50,
+                       dev_key="max_dev_vs_xla_robust")
+
+
 def config4_man1024_alpha_sweep():
     """64-alpha vmapped L-curve sweep over Man 1024 TV-L2 denoising."""
     man = _read("2D_Man_1024.png")
@@ -1003,6 +1055,7 @@ def main():
                    config_tk1_sweep_lena_alpha,
                    config1_batched_ab,
                    config2_batched_ab,
+                   config3_batched_ab,
                    config4_man1024_alpha_sweep,
                    config4_man1024_alpha_sweep_fused,
                    config_scale_256cubed,

@@ -531,3 +531,38 @@ def test_run_deconvolution_robust_blocked_path_matches_xla_cli(tmp_path):
     b = read_nifti(out_blocked).data
     scale = max(1.0, float(np.abs(a).max()))
     assert np.max(np.abs(a - b)) / scale < 5e-5
+
+
+def test_run_deconvolution_study_robust_streaming_hooks(tmp_path):
+    """Robust (huber) deconvolution STUDY on a 3-D volume with the
+    streaming hooks forced (round 5): the wrapper's IRLS engine rides
+    the blocked weighted-normal kernels through the study engine's
+    sweep, and the persisted artifacts match the un-hooked run."""
+    obs = os.path.join(DATA, "3D_SheppLoganPhantom_64.nii.gz")
+    args = ["nsol_run_deconvolution_study.py",
+            "--observation", obs,
+            "--reconstruction-type", "TVL2",
+            "--data-loss", "huber",
+            "--minimizer", "irls",
+            "--iterations", "2",
+            "--iter-max", "2",
+            "--irls-cg-iters", "3",
+            "--alpha-range", "0.01", "0.05", "2"]
+    outs = {}
+    for tag, extra in (("plain", {}),
+                       ("hooked", {"NSOL_TPU_FUSED_INTERPRET": "1",
+                                   "NSOL_TPU_FORCE_BLOCKED": "1"})):
+        out = str(tmp_path / tag)
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["NSOL_TPU_PLATFORM"] = "cpu"
+        env["PYTHONPATH"] = REPO
+        env.update(extra)
+        p = subprocess.run(
+            [sys.executable] + args + ["--dir-output", out], env=env,
+            cwd=REPO, capture_output=True, text=True, timeout=600)
+        assert p.returncode == 0, p.stderr[-2000:]
+        outs[tag] = out
+    a = np.loadtxt(os.path.join(outs["plain"], "TVL2_measure_Data.txt"))
+    b = np.loadtxt(os.path.join(outs["hooked"], "TVL2_measure_Data.txt"))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4 * abs(a).max())
