@@ -568,8 +568,12 @@ def config3_sweep_shepp64_alpha_rho():
         if tag == "fused":
             from nsol_tpu.ops.pallas.fused import make_fused_admm_solver
 
+            # matches the wrapper sweep default (round 5: the compact
+            # kernel wins batched too — 0.207 vs 0.429 s/sweep)
             slv = make_fused_admm_solver(shape, cov, iterations=20,
-                                         iter_max=10, record=True)
+                                         iter_max=10, record=True,
+                                         precision="high3",
+                                         compact_dirs=True)
             f = jit_closed(
                 lambda a, r, x: jax.vmap(
                     lambda ai, ri: slv(bj, x, ai, ri))(a, r),

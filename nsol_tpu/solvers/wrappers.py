@@ -537,12 +537,23 @@ class ADMMLinearSolver(LinearSolver):
         # fresh solver instance (every study CLI invocation) of the same
         # problem reuses them instead of re-paying the remote Mosaic
         # compile (VERDICT r3 item 6)
+        # Round-5 policy update: the compact-directions kernel (high3 +
+        # blur reorder + diff_matmul + exact1) now WINS on the batched
+        # sweeps too — 0.207 vs 0.429 s per 8x8 64-cubed grid, record
+        # dev 2.9e-5 (round 4's wash predated the reorder/diff_matmul
+        # levers). Interpret-mode CI and NSOL_TPU_EXACT keep the
+        # exact-HIGHEST kernel.
+        import os as _os
+
+        exact = interp or bool(_os.environ.get("NSOL_TPU_EXACT"))
+        fast_kw = ({} if exact
+                   else {"precision": "high3", "compact_dirs": True})
         key = _static_key(
             "admm", tuple(shape), str(x0.dtype),
             np.asarray(self._blur_cov),
             None if self._spacing is None else np.asarray(self._spacing),
             self._data_loss, self._iterations, self._iter_max,
-            self._irls_cg_iters, record, interp, len(grid[0]))
+            self._irls_cg_iters, record, interp, exact, len(grid[0]))
 
         def build():
             solve = _fused.make_fused_admm_solver(
@@ -550,7 +561,7 @@ class ADMMLinearSolver(LinearSolver):
                 iterations=self._iterations, iter_max=self._iter_max,
                 data_loss=self._data_loss,
                 irls_cg_iters=self._irls_cg_iters,
-                record=record, interpret=interp)
+                record=record, interpret=interp, **fast_kw)
 
             def fn(aj, rj, dj, b, x0, rec_c):
                 def one(alpha, rho, dl):
