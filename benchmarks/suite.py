@@ -634,7 +634,9 @@ def config_tk1_sweep_lena_alpha():
     for tag in ("xla", "fused"):
         if tag == "fused":
             slv = make_fused_tikhonov_solver(shape, cov, reg="TK1",
-                                             iter_max=10)
+                                             iter_max=10,
+                                             precision="high3",
+                                             compact_dirs=True)
             f = jit_closed(
                 lambda a, x: jax.vmap(lambda ai: slv(b, x, ai))(a),
                 (alphas, b))

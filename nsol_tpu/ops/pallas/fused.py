@@ -710,7 +710,7 @@ def make_fused_tikhonov_solver(shape, cov, alpha_cut=3, spacing=None,
                                reg="TK1", iter_max=10, dtype=jnp.float32,
                                precision=lax.Precision.HIGHEST,
                                data_loss="linear", irls_cg_iters=8,
-                               interpret=False):
+                               interpret=False, compact_dirs=False):
     """Build ``solve(b, x0, alpha, data_loss_scale=1) -> x``: one whole
     Tikhonov-regularized deconvolution solve as ONE Pallas program — the
     TK0L2/TK1L2 counterpart of :func:`make_fused_admm_solver`, covering
@@ -766,14 +766,26 @@ def make_fused_tikhonov_solver(shape, cov, alpha_cut=3, spacing=None,
             u = _minor_matmul(u, C, n_stencil + k, ndim, precision)
         return u
 
-    def reg_apply(u, T_m):
+    def reg_apply(u, T_m, prec=precision):
         if reg == "TK0":
             return u
         out = _lap_axis0_stencil(u, lap0_inv_h2) if n_stencil else None
         for k, T in enumerate(T_m):
-            t = _minor_matmul(u, T, n_stencil + k, ndim, precision)
+            t = _minor_matmul(u, T, n_stencil + k, ndim, prec)
             out = t if out is None else out + t
         return out
+
+    # compact-directions levers (round 5, mirrors make_fused_admm_solver):
+    # rounded CG directions -> blur matmuls reordered before the z taps
+    # at "high2", regularizer matmuls at "exact1"/"high2"
+    if compact_dirs and precision != "high3":
+        raise ValueError("compact_dirs requires precision='high3'")
+    reg_dir_prec = precision
+    if compact_dirs and reg == "TK1":
+        reg_dir_prec = ("exact1" if all(bf16_exact(T) for T in T_mats)
+                        else "high2")
+    round_dir = ((lambda u: u.astype(jnp.bfloat16).astype(dtype))
+                 if compact_dirs else None)
 
     robust = data_loss != "linear"
     grad_rho = lf.gradient_loss(data_loss) if robust else None
@@ -792,6 +804,16 @@ def make_fused_tikhonov_solver(shape, cov, alpha_cut=3, spacing=None,
         b = b_ref[:]
         x = jnp.maximum(x0_ref[:], 0.0)  # clip x0 onto the box
 
+        def blur_dir(u):
+            # matmuls first on the bf16-exact rounded direction at
+            # "high2", z taps after (convs commute; free in VMEM)
+            s = u
+            for k, Cm in enumerate(A_m):
+                s = _minor_matmul(s, Cm, n_stencil + k, ndim, "high2")
+            for t in A_taps:
+                s = _roll_conv_axis0(s, t)
+            return s
+
         if robust:
             def irls_sweep(_, x):
                 r = conv_all(x, A_taps, A_m) - b
@@ -808,8 +830,19 @@ def make_fused_tikhonov_solver(shape, cov, alpha_cut=3, spacing=None,
                                    + alpha * reg_apply(uf, T_m)) \
                         + (u - uf)
 
-                step = _cg_inkernel(apply_W, -free * g,
-                                    jnp.zeros_like(x), irls_cg_iters)
+                def apply_W_dir(u):
+                    uf = free * u  # {0,1} mask keeps bf16 exactness
+                    return free * (conv_all(wts * blur_dir(uf),
+                                            A_taps, A_m)
+                                   + alpha * reg_apply(uf, T_m,
+                                                       reg_dir_prec)) \
+                        + (u - uf)
+
+                step = _cg_inkernel(
+                    apply_W, -free * g, jnp.zeros_like(x),
+                    irls_cg_iters,
+                    apply_dir=apply_W_dir if compact_dirs else None,
+                    round_dir=round_dir)
                 return jnp.maximum(x + step, 0.0)
 
             x = lax.fori_loop(0, iter_max, irls_sweep, x)
@@ -820,7 +853,20 @@ def make_fused_tikhonov_solver(shape, cov, alpha_cut=3, spacing=None,
                 return conv_all(u, N_taps, N_m) \
                     + alpha * reg_apply(u, T_m)
 
-            x = _cg_inkernel(apply_M, At_b, x, iter_max)
+            def apply_M_dir(u):
+                # the normal-blur matmuls ride the rounded direction
+                s = u
+                for k, Cm in enumerate(N_m):
+                    s = _minor_matmul(s, Cm, n_stencil + k, ndim,
+                                      "high2")
+                for t in N_taps:
+                    s = _roll_conv_axis0(s, t)
+                return s + alpha * reg_apply(u, T_m, reg_dir_prec)
+
+            x = _cg_inkernel(
+                apply_M, At_b, x, iter_max,
+                apply_dir=apply_M_dir if compact_dirs else None,
+                round_dir=round_dir)
             x = jnp.maximum(x, 0.0)
         out_ref[:] = x
 

@@ -283,19 +283,27 @@ class TikhonovLinearSolver(LinearSolver):
         b = jnp.asarray(self._b, x0.dtype)
         grid = tuple(jnp.asarray(np.asarray(a, np.float64), x0.dtype)
                      for a in (alphas, dls))
+        # round-5 batched-sweep policy (see the ADMM counterpart):
+        # compact-directions kernel unless interpret CI / NSOL_TPU_EXACT
+        import os as _os
+
+        exact = interp or bool(_os.environ.get("NSOL_TPU_EXACT"))
+        fast_kw = ({} if exact
+                   else {"precision": "high3", "compact_dirs": True})
         key = _static_key(
             "tik", tuple(shape), str(x0.dtype),
             np.asarray(self._blur_cov),
             None if self._spacing is None else np.asarray(self._spacing),
             self._reg_kind, self._data_loss, self._iter_max,
-            self._irls_cg_iters, interp, len(grid[0]))
+            self._irls_cg_iters, interp, exact, len(grid[0]))
 
         def build():
             solve = _fused.make_fused_tikhonov_solver(
                 shape, self._blur_cov, spacing=self._spacing,
                 reg=self._reg_kind, iter_max=self._iter_max,
                 data_loss=self._data_loss,
-                irls_cg_iters=self._irls_cg_iters, interpret=interp)
+                irls_cg_iters=self._irls_cg_iters, interpret=interp,
+                **fast_kw)
 
             def fn(aj, dj, b, x0):
                 return jax.vmap(lambda a, d: solve(b, x0, a, d))(aj, dj)
