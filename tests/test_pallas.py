@@ -1446,3 +1446,40 @@ def test_blocked_robust_anisotropic(rng):
         tol = 5e-6 if not kw else 5e-4
         assert np.abs(x_blk - np.asarray(x_xla)).max() \
             / max(1e-6, np.abs(np.asarray(x_xla)).max()) < tol
+
+
+def test_measured_negative_options_still_work(rng):
+    """The measured-negative/probe options stay functional (recorded
+    verdicts in BASELINE.md): pipelined_cg, blur_reorder='high2',
+    compact_dirs='qf32' — each must produce f32-noise/rounded-class
+    results, not silently bit-rot."""
+    import scipy.ndimage as ndi
+
+    from nsol_tpu.ops import kernels as K
+    from nsol_tpu.ops.pallas.blocked import blocked_admm_solve
+    from nsol_tpu.ops.pallas.fused import make_fused_admm_solver
+
+    shape = (16, 16, 16)
+    cov = np.diag([1.0] * 3)
+    kern = K.gaussian_kernel(cov, alpha_cut=3, spacing=np.ones(3))
+    x_true = (rng.rand(*shape) > 0.6).astype(np.float32)
+    b = ndi.convolve(x_true, kern, mode="wrap").astype(np.float32)
+
+    base = np.asarray(make_fused_admm_solver(
+        shape, cov, iterations=4, iter_max=6, interpret=True,
+        precision="high3", compact_dirs=True)(b, b, 0.01, 0.5))
+    pipe = np.asarray(make_fused_admm_solver(
+        shape, cov, iterations=4, iter_max=6, interpret=True,
+        precision="high3", compact_dirs=True, pipelined_cg=True,
+        blur_reorder=False)(b, b, 0.01, 0.5))
+    sc = np.abs(base).max()
+    assert np.abs(pipe - base).max() / sc < 1e-3
+
+    bb = jnp.asarray(b)
+    bsol = blocked_admm_solve(shape, cov, iterations=4, iter_max=6,
+                              block=8, interpret=True, mode="step",
+                              compact_dirs="qf32",
+                              blur_reorder="high2")
+    xq = np.asarray(jax.jit(
+        lambda bi, x0: bsol(bi, x0, 0.01, 0.5))(bb, bb))
+    assert np.abs(xq - base).max() / sc < 1e-3
