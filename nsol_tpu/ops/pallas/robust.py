@@ -428,9 +428,20 @@ def blocked_robust_admm_solve(shape, cov, alpha_cut=3, spacing=None,
     from nsol_tpu.ops import grad as G
     from nsol_tpu.ops.prox import vectorial_soft_threshold
 
-    blur = make_blocked_blur_operator(
-        shape, cov, alpha_cut=alpha_cut, spacing=spacing, dtype=dtype,
-        precision=precision, interpret=interpret)
+    blur = None
+    if shape[1] >= 512:
+        # 512-wide planes: the 2-D blur restores double-buffered DMA
+        # where the 1-D layout only fits single-buffered
+        try:
+            blur = make_blocked_blur_operator_2d(
+                shape, cov, alpha_cut=alpha_cut, spacing=spacing,
+                dtype=dtype, precision=precision, interpret=interpret)
+        except ValueError:
+            blur = None
+    if blur is None:
+        blur = make_blocked_blur_operator(
+            shape, cov, alpha_cut=alpha_cut, spacing=spacing,
+            dtype=dtype, precision=precision, interpret=interpret)
     try:
         blur_lap = make_blocked_blur_operator(
             shape, cov, alpha_cut=alpha_cut, spacing=spacing,
@@ -704,6 +715,91 @@ def make_blocked_weighted_normal_operator_2d(shape, cov, alpha_cut=3,
         rr = jnp.full((1, 1), rho, dtype)
         return call(rr, W1, W2, Wty, st.Ax, st.Tx,
                     jnp.asarray(v, io), jnp.asarray(w, io))
+
+    apply.halo = r
+    apply.block = Bz
+    return apply
+
+
+def make_blocked_blur_operator_2d(shape, cov, alpha_cut=3, spacing=None,
+                                  z_block=None, y_block=None,
+                                  dtype=jnp.float32,
+                                  precision=lax.Precision.HIGHEST,
+                                  interpret=False):
+    """2-D (z, y)-blocked streaming ``A v`` — the 512-wide-plane form of
+    :func:`make_blocked_blur_operator` (whose 1-D layout at those
+    volumes only fits single-buffered): smaller 2-D slabs restore the
+    double-buffered halo DMA for the robust solver's per-sweep residual
+    and gradient passes. The y conv is a window→center band matmul
+    (same machinery as the linear 2-D kernels); exact f32 throughout
+    (these passes feed the IRLS gradient, which anchors the MM fixed
+    point)."""
+    from nsol_tpu.ops.pallas.blocked import (
+        _band_matrix, _load_ext_2d_pipelined, pick_zy_blocks,
+    )
+
+    st = _RobustStencils(shape, cov, alpha_cut, spacing, dtype)
+    Z, Y, X = shape
+    ra = st.r_a
+    r = max(ra, 1)
+    ra_y = len(st.factors[1]) // 2
+    ry = -((-max(ra_y, 1)) // 8) * 8
+    if z_block is None or y_block is None:
+        zb, yb = pick_zy_blocks(shape, r, dtype, n_ext=1, halo_y=ra_y)
+        z_block = z_block or zb
+        y_block = y_block or yb
+    if z_block is None:
+        raise ValueError(
+            "no 2-D block layout of shape %s fits the scoped-VMEM "
+            "budget for the blur operator" % (shape,))
+    Bz, By = int(z_block), int(y_block)
+    for n, B, h, name in ((Z, Bz, r, "z"), (Y, By, ry, "y")):
+        if n % B or n // B < 2 or B < h:
+            raise ValueError(
+                "%s axis %d must split into >=2 blocks of %d >= halo %d"
+                % (name, n, B, h))
+    nbz, nby = Z // Bz, Y // By
+    fy = np.asarray(st.factors[1], st.np_dtype)
+    Wy = jnp.asarray(_band_matrix(fy, By, ry, st.np_dtype))
+
+    def kernel(wy_ref, ax_ref, v_hbm, out_ref, ext, sem):
+        i = pl.program_id(0)
+        jy = pl.program_id(1)
+        slot = _load_ext_2d_pipelined([(v_hbm, ext, sem)], i, jy, nbz,
+                                      nby, Z, Y, Bz, By, r, ry)
+        get = lambda s0, n: ext[slot, pl.ds(s0, n)]
+        # z taps consume the z halo (offset r - r_a keeps generality for
+        # the degenerate r_a = 0 case where r = 1)
+        q = None
+        for t in range(2 * ra + 1):
+            term = st.a_z[t] * get(t + (r - ra), Bz)
+            q = term if q is None else q + term
+        q = _minor_matmul(q, wy_ref[:], 1, 3, precision)
+        q = _conv_minor(q, ax_ref[:], 2, st.banded_x, precision)
+        out_ref[:] = q
+
+    const = lambda shp: pl.BlockSpec(shp, lambda i, j: (0,) * len(shp),
+                                     memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nbz, nby),
+        in_specs=[
+            const(Wy.shape), const(st.Ax.shape),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((Bz, By, X), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def apply(v):
+        return call(Wy, st.Ax, jnp.asarray(v, dtype))
 
     apply.halo = r
     apply.block = Bz
