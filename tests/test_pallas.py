@@ -1483,3 +1483,21 @@ def test_measured_negative_options_still_work(rng):
     xq = np.asarray(jax.jit(
         lambda bi, x0: bsol(bi, x0, 0.01, 0.5))(bb, bb))
     assert np.abs(xq - base).max() / sc < 1e-3
+
+
+def test_blocked_blur_operator_2d(rng):
+    """The 2-D (z, y)-blocked blur kernel (round 5 — the 512-wide-plane
+    per-sweep pass of the robust solver) matches the XLA blur,
+    isotropic and anisotropic."""
+    from nsol_tpu.ops.conv import make_blur_operators
+    from nsol_tpu.ops.pallas.robust import make_blocked_blur_operator_2d
+
+    shape = (32, 16, 16)
+    for cov in (np.diag([1.0] * 3), np.diag([1.3, 0.8, 1.1]) ** 2):
+        v = rng.rand(*shape).astype(np.float32)
+        A, _ = make_blur_operators(cov, alpha_cut=3, shape=shape,
+                                   dtype=np.float32)
+        want = np.asarray(jax.jit(A)(jnp.asarray(v)))
+        ap = make_blocked_blur_operator_2d(shape, cov, z_block=8,
+                                           y_block=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(ap(v)), want, atol=2e-6)
