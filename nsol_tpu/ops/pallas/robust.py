@@ -448,14 +448,24 @@ def blocked_robust_admm_solve(shape, cov, alpha_cut=3, spacing=None,
             dtype=dtype, precision=precision, with_lap=True,
             interpret=interpret)
     except ValueError:
-        # 512³-class: the two-input fused gradient pass exceeds the
-        # VMEM budget in f32 — compose the (fitting) blur kernel with
-        # the exact XLA Laplacian instead (still one streamed volume
-        # read each; the gradient stays exact-f32 either way)
-        from nsol_tpu.ops import grad as _G
+        # 512³-class: the two-input fused 1-D gradient pass exceeds the
+        # VMEM budget in f32 — the 2-D form fits (double-buffered);
+        # compose blur + exact XLA Laplacian as the last resort (the
+        # gradient stays exact-f32 either way)
+        blur_lap = None
+        if shape[1] >= 512:
+            try:
+                blur_lap = make_blocked_blur_operator_2d(
+                    shape, cov, alpha_cut=alpha_cut, spacing=spacing,
+                    dtype=dtype, precision=precision, with_lap=True,
+                    interpret=interpret)
+            except ValueError:
+                blur_lap = None
+        if blur_lap is None:
+            from nsol_tpu.ops import grad as _G
 
-        blur_lap = lambda y, u, rho: blur(y) \
-            + rho * _G.gradient_normal(u, spacing)
+            blur_lap = lambda y, u, rho: blur(y) \
+                + rho * _G.gradient_normal(u, spacing)
     # compact_dirs (round 5): the inner-CG directions, the frozen
     # weights, and q stream through the weighted kernel in bf16 (r/x/g
     # and the per-sweep residual stay f32, computed by the exact f32
@@ -725,7 +735,7 @@ def make_blocked_blur_operator_2d(shape, cov, alpha_cut=3, spacing=None,
                                   z_block=None, y_block=None,
                                   dtype=jnp.float32,
                                   precision=lax.Precision.HIGHEST,
-                                  interpret=False):
+                                  interpret=False, with_lap=False):
     """2-D (z, y)-blocked streaming ``A v`` — the 512-wide-plane form of
     :func:`make_blocked_blur_operator` (whose 1-D layout at those
     volumes only fits single-buffered): smaller 2-D slabs restore the
@@ -744,8 +754,10 @@ def make_blocked_blur_operator_2d(shape, cov, alpha_cut=3, spacing=None,
     r = max(ra, 1)
     ra_y = len(st.factors[1]) // 2
     ry = -((-max(ra_y, 1)) // 8) * 8
+    n_ext = 2 if with_lap else 1
     if z_block is None or y_block is None:
-        zb, yb = pick_zy_blocks(shape, r, dtype, n_ext=1, halo_y=ra_y)
+        zb, yb = pick_zy_blocks(shape, r, dtype, n_ext=n_ext,
+                                halo_y=ra_y)
         z_block = z_block or zb
         y_block = y_block or yb
     if z_block is None:
@@ -761,13 +773,21 @@ def make_blocked_blur_operator_2d(shape, cov, alpha_cut=3, spacing=None,
     nbz, nby = Z // Bz, Y // By
     fy = np.asarray(st.factors[1], st.np_dtype)
     Wy = jnp.asarray(_band_matrix(fy, By, ry, st.np_dtype))
+    lap_taps = np.array([-1.0, 2.0, -1.0]) * float(st.inv_h2_y)
+    Wty = jnp.asarray(_band_matrix(lap_taps, By, ry, st.np_dtype))
 
-    def kernel(wy_ref, ax_ref, v_hbm, out_ref, ext, sem):
+    def kernel(sc_ref, wy_ref, wty_ref, ax_ref, tx_ref, *refs):
+        if with_lap:
+            y_hbm, u_hbm, out_ref, ext_y, ext_u, sem_y, sem_u = refs
+            inputs = [(y_hbm, ext_y, sem_y), (u_hbm, ext_u, sem_u)]
+        else:
+            y_hbm, out_ref, ext_y, sem_y = refs
+            inputs = [(y_hbm, ext_y, sem_y)]
         i = pl.program_id(0)
         jy = pl.program_id(1)
-        slot = _load_ext_2d_pipelined([(v_hbm, ext, sem)], i, jy, nbz,
-                                      nby, Z, Y, Bz, By, r, ry)
-        get = lambda s0, n: ext[slot, pl.ds(s0, n)]
+        slot = _load_ext_2d_pipelined(inputs, i, jy, nbz, nby, Z, Y, Bz,
+                                      By, r, ry)
+        get = lambda s0, n: ext_y[slot, pl.ds(s0, n)]
         # z taps consume the z halo (offset r - r_a keeps generality for
         # the degenerate r_a = 0 case where r = 1)
         q = None
@@ -776,30 +796,73 @@ def make_blocked_blur_operator_2d(shape, cov, alpha_cut=3, spacing=None,
             q = term if q is None else q + term
         q = _minor_matmul(q, wy_ref[:], 1, 3, precision)
         q = _conv_minor(q, ax_ref[:], 2, st.banded_x, precision)
+
+        if with_lap:
+            # rho*DtD of the second input on the (Bz, By) center —
+            # the same boundary-exact block as the 2-D weighted kernel
+            rho = sc_ref[0, 0]
+            getu = lambda s0, n: ext_u[slot, pl.ds(s0, n)]
+            zc = lambda s0: getu(s0, Bz)[:, ry:ry + By]
+            center = zc(r)
+            lz = 2.0 * center - zc(r + 1) - zc(r - 1)
+            rows = lax.broadcasted_iota(jnp.int32, (Bz, 1, 1), 0) \
+                + i * Bz
+            first = lax.slice_in_dim(center, 0, 1, axis=0) \
+                - lax.slice_in_dim(center, 1, 2, axis=0)
+            last = 2.0 * lax.slice_in_dim(center, Bz - 1, Bz, axis=0) \
+                - lax.slice_in_dim(center, Bz - 2, Bz - 1, axis=0)
+            lz = jnp.where(rows == 0, first, lz)
+            lz = jnp.where(rows == Z - 1, last, lz)
+            ly = _minor_matmul(getu(r, Bz), wty_ref[:], 1, 3, precision)
+            ycols = lax.broadcasted_iota(jnp.int32, (1, By, 1), 1) \
+                + jy * By
+            u0 = lax.slice_in_dim(center, 0, 1, axis=1)
+            u1 = lax.slice_in_dim(center, 1, 2, axis=1)
+            um1 = lax.slice_in_dim(center, By - 1, By, axis=1)
+            um2 = lax.slice_in_dim(center, By - 2, By - 1, axis=1)
+            ly = jnp.where(ycols == 0, (u0 - u1) * st.inv_h2_y, ly)
+            ly = jnp.where(ycols == Y - 1,
+                           (2.0 * um1 - um2) * st.inv_h2_y, ly)
+            lap = lz * st.inv_h2_z + ly \
+                + _lap_minor(center, tx_ref[:], 2, st.banded_x,
+                             st.inv_h2_x, precision)
+            q = q + rho * lap
         out_ref[:] = q
 
     const = lambda shp: pl.BlockSpec(shp, lambda i, j: (0,) * len(shp),
                                      memory_space=pltpu.VMEM)
+    slab = lambda: pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), dtype)
+    sem = lambda: pltpu.SemaphoreType.DMA((2,))
+    scratch = ([slab(), slab(), sem(), sem()] if with_lap
+               else [slab(), sem()])
     call = pl.pallas_call(
         kernel,
         grid=(nbz, nby),
         in_specs=[
-            const(Wy.shape), const(st.Ax.shape),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const(Wy.shape), const(Wty.shape), const(st.Ax.shape),
+            const(st.Tx.shape),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if with_lap else []),
         out_specs=pl.BlockSpec((Bz, By, X), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, Bz + 2 * r, By + 2 * ry, X), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )
 
-    def apply(v):
-        return call(Wy, st.Ax, jnp.asarray(v, dtype))
+    if with_lap:
+        def apply(y, u, rho):
+            rr = jnp.full((1, 1), rho, dtype)
+            return call(rr, Wy, Wty, st.Ax, st.Tx,
+                        jnp.asarray(y, dtype), jnp.asarray(u, dtype))
+    else:
+        def apply(y):
+            rr = jnp.zeros((1, 1), dtype)
+            return call(rr, Wy, Wty, st.Ax, st.Tx,
+                        jnp.asarray(y, dtype))
 
     apply.halo = r
     apply.block = Bz
