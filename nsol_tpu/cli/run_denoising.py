@@ -94,9 +94,13 @@ def main():
         if ((interp or jax.default_backend() != "cpu")
                 and dimension in (2, 3)
                 and _fused.fused_pd_fits_vmem(observed_nda.shape)):
+            # NSOL_TPU_COMPACT=1: bf16-state kernel (+33 % throughput,
+            # bf16-rounding-class iterate deviation — opt-in only)
             fused_pd = _fused.make_fused_pd_denoise_solver(
                 observed_nda.shape, rtype, alg_type="ALG2",
                 iterations=args.iterations, dtype=bj.dtype,
+                compact=(not interp)
+                and bool(os.environ.get("NSOL_TPU_COMPACT")),
                 interpret=interp)
             L2 = jnp.asarray(8.0, bj.dtype)  # same quirk as below
             a0 = jnp.asarray(float(alphas[0]), bj.dtype)

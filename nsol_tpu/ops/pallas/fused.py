@@ -145,12 +145,19 @@ def difference_matrix(n, dtype=np.float32):
     return D.astype(dtype)
 
 
-def _exact_bf16_matmul(u, C, axis, ndim):
+def _exact_bf16_matmul(u, C, axis, ndim, exact1=False):
     """Minor-axis matmul with a matrix whose entries are EXACT in bfloat16
     (the ±1/0 difference matrices): 3-way bf16 split of ``u``, one DEFAULT
     MXU pass each. f32-faithful — C has no low part, and the third split
     term carries ``u``'s residual below 2⁻¹⁶ relative — at HALF of
-    HIGHEST's 6 passes."""
+    HIGHEST's 6 passes.
+
+    ``exact1=True``: the caller guarantees ``u`` itself is bf16-exact
+    (compact-state values upcast to f32) — the split terms u2/u3 are
+    identically zero, so ONE DEFAULT pass is bit-identical (the exact1
+    reasoning of :func:`_minor_matmul`)."""
+    if exact1:
+        return _minor_matmul(u, C, axis, ndim, "exact1")
     d = lax.Precision.DEFAULT
     u1 = u.astype(jnp.bfloat16).astype(u.dtype)
     r1 = u - u1
@@ -168,7 +175,7 @@ def _exact_bf16_matmul(u, C, axis, ndim):
 _BANDED_MIN_AXIS = 512
 
 
-def _banded_diff_lane(u, Cblk, cross, ndim):
+def _banded_diff_lane(u, Cblk, cross, ndim, exact1=False):
     """Lane-axis difference apply as 128-wide block-banded matmuls.
 
     ``D`` is bidiagonal, so its (128, 128)-blocked form has identical
@@ -184,7 +191,7 @@ def _banded_diff_lane(u, Cblk, cross, ndim):
     chunks = []
     for j in range(nb):
         uj = lax.slice_in_dim(u, j * 128, (j + 1) * 128, axis=ndim - 1)
-        yj = _exact_bf16_matmul(uj, Cblk, ndim - 1, ndim)
+        yj = _exact_bf16_matmul(uj, Cblk, ndim - 1, ndim, exact1=exact1)
         if cross > 0 and j < nb - 1:
             nxt = lax.slice_in_dim(u, (j + 1) * 128, (j + 1) * 128 + 1,
                                    axis=ndim - 1)
@@ -274,15 +281,15 @@ def _banded_window_matmul(u, W, axis, ndim, precision):
     return jnp.concatenate(chunks, axis=ndim - 1)
 
 
-def _banded_diff(u, Cblk, cross, axis, ndim):
+def _banded_diff(u, Cblk, cross, axis, ndim, exact1=False):
     """Block-banded difference along either minor axis (sublane via the
     swap sandwich, as in :func:`_minor_matmul`)."""
     if axis == ndim - 1:
-        return _banded_diff_lane(u, Cblk, cross, ndim)
+        return _banded_diff_lane(u, Cblk, cross, ndim, exact1=exact1)
     if axis != ndim - 2:
         raise ValueError("banded diff only on the two minor axes")
     ut = jnp.swapaxes(u, ndim - 2, ndim - 1)
-    yt = _banded_diff_lane(ut, Cblk, cross, ndim)
+    yt = _banded_diff_lane(ut, Cblk, cross, ndim, exact1=exact1)
     return jnp.swapaxes(yt, ndim - 2, ndim - 1)
 
 
@@ -951,6 +958,7 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
                                  alg_type="ALG2", iterations=50,
                                  spacing=None, dtype=jnp.float32,
                                  huber_gamma=0.05, record=False,
+                                 compact=False,
                                  interpret=False):
     """Build ``solve(b, x0, alpha, L2) -> x``: a whole Chambolle–Pock
     denoising solve as ONE VMEM-resident Pallas program.
@@ -986,6 +994,19 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
     recorded value by ``x_scale²`` (the identity
     ``huber(s·x, γ) = s²·huber(x, γ/s)``), keeping the study's
     rescaled-iterate measure semantics without retracing per scale.
+
+    ``compact=True`` (opt-in — PD has no exact outer correction, so
+    unlike the ADMM kernel's ``compact_dirs`` this perturbs the iterate
+    itself): the loop-carried state (x, x̄, dual p) is stored in VMEM as
+    bfloat16 and every arithmetic step runs f32 on the upcast values.
+    Because the upcast state is bf16-EXACT, the minor-axis difference
+    matmuls collapse to ONE DEFAULT MXU pass each (the exact1 reasoning)
+    and the loop's VMEM traffic halves. The converged PD fixed point
+    moves by a bf16-rounding-class amount (~1e-3 relative voxel
+    deviation — measured, tests/test_pallas.py); the in-kernel Reg/Data
+    records measure the ROUNDED iterate (what the solver actually
+    returns). Not a default anywhere; the exact kernels stay the
+    parity-gated paths.
     """
     if reconstruction_type not in ("TVL1", "TVL2", "HuberL1", "HuberL2"):
         raise ValueError("unknown reconstruction type '%s'"
@@ -1036,13 +1057,15 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
         x = x0_ref[:]
 
         def grad_comp(u, i):
+            # compact mode: u is a bf16-exact upcast -> exact1 single pass
             ax = ndim - 1 - i
             if ax >= ndim - 2:
                 k = ax - (ndim - 2)
                 if banded_ax[k]:
-                    t = _banded_diff(u, Ds[k], +1, ax, ndim)
+                    t = _banded_diff(u, Ds[k], +1, ax, ndim, exact1=compact)
                 else:
-                    t = _exact_bf16_matmul(u, Ds[k], ax, ndim)
+                    t = _exact_bf16_matmul(u, Ds[k], ax, ndim,
+                                           exact1=compact)
             else:
                 t = _fwd_diff(u, ax)
             return t * inv_s[i]
@@ -1054,14 +1077,24 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
                 if ax >= ndim - 2:
                     k = ax - (ndim - 2)
                     if banded_ax[k]:
-                        t = _banded_diff(comps[i], DTs[k], -1, ax, ndim)
+                        t = _banded_diff(comps[i], DTs[k], -1, ax, ndim,
+                                         exact1=compact)
                     else:
-                        t = _exact_bf16_matmul(comps[i], DTs[k], ax, ndim)
+                        t = _exact_bf16_matmul(comps[i], DTs[k], ax, ndim,
+                                               exact1=compact)
                 else:
                     t = _fwd_diff_adj(comps[i], ax)
                 t = t * inv_s[i]
                 out = t if out is None else out + t
             return out
+
+        cdn = jnp.bfloat16 if compact else dtype
+
+        def _round(v):
+            return v.astype(cdn) if compact else v
+
+        def _up(v):
+            return v.astype(dtype) if compact else v
 
         def write_measures(t, u):
             # study-engine L-curve feeds, type-matched formulas
@@ -1084,10 +1117,15 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
             data_ref[pl.ds(t, 1), :] = jnp.full((1, 128), data, dtype)
 
         if record:
-            write_measures(0, x)
+            write_measures(0, _up(_round(x)))
 
         def body(t, carry):
             x, x_mean, p = carry
+            # compact: carry is stored bf16; all arithmetic below runs
+            # f32 on the (bf16-exact) upcasts
+            x = _up(x)
+            x_mean = _up(x_mean)
+            p = tuple(_up(pi) for pi in p)
             sigma = sig_ref[t, 0]
             tau = tau_ref[t, 0]
             ft = ft_ref[t, 0]      # τ·λ — the primal prox step
@@ -1102,6 +1140,9 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
 
             p = tuple(prox_conj(p[i] + sigma * grad_comp(x_mean, i))
                       for i in range(ndim))
+            # round the fresh dual BEFORE the divergence so its matmuls
+            # see the same bf16-exact value the next iteration carries
+            p = tuple(_up(_round(pi)) for pi in p)
 
             # primal prox at x − τ·Bᵀp with step τλ, x0 = b
             z = x - tau * div_acc(p)
@@ -1110,15 +1151,20 @@ def make_fused_pd_denoise_solver(shape, reconstruction_type,
                 x_new = b + jnp.maximum(jnp.abs(d) - ft, 0.0) * jnp.sign(d)
             else:
                 x_new = (z + ft * b) / (1.0 + ft)
+            # the compact iterate IS the rounded value — measures and the
+            # over-relaxation step both see it
+            x_new = _up(_round(x_new))
 
             if record:
                 write_measures(t + 1, x_new)
             x_mean = x_new + theta * (x_new - x)
-            return (x_new, x_mean, p)
+            return (_round(x_new), _round(x_mean), tuple(_round(pi)
+                                                         for pi in p))
 
-        p0 = tuple(jnp.zeros_like(x) for _ in range(ndim))
-        x, _, _ = lax.fori_loop(0, iterations, body, (x, x, p0))
-        out_ref[:] = x
+        x_c = _round(x)
+        p0 = tuple(jnp.zeros_like(x_c) for _ in range(ndim))
+        x, _, _ = lax.fori_loop(0, iterations, body, (x_c, x_c, p0))
+        out_ref[:] = _up(x)
 
     mats = [jnp.asarray(D) for D in D_all]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)

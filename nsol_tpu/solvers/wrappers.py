@@ -756,15 +756,21 @@ class PrimalDualSolver(Solver):
         # or run_sweep call re-traces a fresh Mosaic program and pays
         # the remote compile again (measured: tens of seconds per call
         # under the axon tunnel)
+        # NSOL_TPU_COMPACT=1 opts the sweep into the bf16-state PD
+        # kernel (+33 % on the config-4 sweep; iterate perturbed at the
+        # bf16 rounding class — ~0.1 % L2 / ~2 % L1 objective deviation,
+        # tests/test_pallas.py::test_fused_pd_denoise_compact_state).
+        # NEVER a default: study records feed L-curve selection.
+        compact = (not interp) and bool(_os.environ.get("NSOL_TPU_COMPACT"))
         key = _static_key("pd", tuple(shape), str(x0.dtype), rtype,
                           self._alg_type, self._iterations, record,
-                          interp, len(aj))
+                          interp, compact, len(aj))
 
         def build():
             solve = _fused.make_fused_pd_denoise_solver(
                 shape, rtype, alg_type=self._alg_type,
                 iterations=self._iterations, record=record,
-                interpret=interp)
+                compact=compact, interpret=interp)
 
             def fn(aj, b, x0, L2, g_rec):
                 def one(alpha):

@@ -173,6 +173,49 @@ def test_fused_pd_denoise_alpha_sweep_no_retrace(rng):
                                    x_ref, atol=2e-6, rtol=1e-5)
 
 
+def test_fused_pd_denoise_compact_state(rng):
+    """Opt-in ``compact=True`` (bf16-stored x/x̄/p, f32 arithmetic on the
+    bf16-exact upcasts, exact1 single-pass difference matmuls): the PD
+    iterate has no exact outer correction, so — unlike the ADMM kernel's
+    compact_dirs — the iterate itself is perturbed at the bf16 rounding
+    class. Gates: voxel deviation ≲1e-2 relative; converged-objective
+    deviation ≲0.5 % for the smooth L2 data term and ≲2 % for the SAD
+    (L1) term, which is more sensitive to iterate rounding (measured:
+    0.08 % TVL2 / 0.9 % HuberL1 here, 1.7 % on the 1024² config-4 probe
+    at alpha≈0.95 — the +33 % throughput trade,
+    benchmarks/pd_compact_probe.py)."""
+    from nsol_tpu.ops.pallas.fused import make_fused_pd_denoise_solver
+
+    shape = (48, 64)
+    b = rng.rand(*shape).astype(np.float32)
+    alpha, L2 = 0.3, 8.0
+    for rtype in ("TVL2", "HuberL1"):
+        exact = make_fused_pd_denoise_solver(
+            shape, rtype, iterations=25, record=True, interpret=True)
+        comp = make_fused_pd_denoise_solver(
+            shape, rtype, iterations=25, record=True, interpret=True,
+            compact=True)
+        x_e, rec_e = exact(b, b, alpha, L2)
+        x_c, rec_c = comp(b, b, alpha, L2)
+        x_e, x_c = np.asarray(x_e), np.asarray(x_c)
+        vox = np.max(np.abs(x_e - x_c)) / np.max(np.abs(x_e))
+        assert vox < 2e-2, (rtype, vox)
+        obj_e = float(rec_e["Data"][-1]) + alpha * float(rec_e["Reg"][-1])
+        obj_c = float(rec_c["Data"][-1]) + alpha * float(rec_c["Reg"][-1])
+        band = 2e-2 if rtype.endswith("L1") else 5e-3
+        assert abs(obj_e - obj_c) / abs(obj_e) < band, (rtype, obj_e, obj_c)
+    # 3-D leading-axis stencil leg
+    shape3 = (8, 16, 16)
+    b3 = rng.rand(*shape3).astype(np.float32)
+    e3 = make_fused_pd_denoise_solver(shape3, "TVL2", iterations=10,
+                                      interpret=True)
+    c3 = make_fused_pd_denoise_solver(shape3, "TVL2", iterations=10,
+                                      interpret=True, compact=True)
+    xe = np.asarray(e3(b3, b3, 0.5, 8.0))
+    xc = np.asarray(c3(b3, b3, 0.5, 8.0))
+    assert np.max(np.abs(xe - xc)) / np.max(np.abs(xe)) < 2e-2
+
+
 def test_blocked_normal_operator_matches_fused_normal(rng):
     """Streaming z-blocked ``AᵀA + ρDᵀD`` == make_normal_blur_operator +
     ρ·gradient_normal (wrap blur vs zero-boundary Laplacian, both exact)."""
