@@ -495,6 +495,50 @@ def config4_man1024_alpha_sweep_fused():
             "iters_per_sec": round(64 * 50 / per, 1)}
 
 
+def config4_man1024_alpha_sweep_compact():
+    """Config 4 through the opt-in bf16-STATE PD kernel (round-5 close):
+    exact and compact legs run back-to-back in ONE session so the A/B is
+    honest. The compact iterate moves at the bf16 rounding class (PD has
+    no exact outer correction), so the gate is a 2 % objective band vs
+    the exact leg — NOT the 1e-5 parity band of the exact paths."""
+    from nsol_tpu.ops.pallas.fused import make_fused_pd_denoise_solver
+
+    man = _read("2D_Man_1024.png")
+    b = jnp.asarray(man / float(man.max()))
+    alphas = jnp.linspace(0.01, 1.5, 64, dtype=DTYPE)
+    L2 = jnp.asarray(8.0, jnp.float32)
+    out = {"config": "man1024_tvl2_64alpha_lcurve_vmap_compact"}
+    objs = {}
+    for tag, compact in (("exact", False), ("compact", True)):
+        fused = make_fused_pd_denoise_solver(man.shape, "TVL2",
+                                             iterations=50, record=True,
+                                             compact=compact)
+
+        def sweep(x0):
+            return jax.vmap(lambda a: fused(b, x0, a, L2))(alphas)
+
+        f = jit_closed(sweep, (b,))
+        x_all, recs = f(b)
+        np.asarray(x_all[0])
+        n = 3
+        t0 = time.perf_counter()
+        xi = b
+        for _ in range(n):
+            x_all, recs = f(xi)
+            xi = x_all[0]
+        np.asarray(xi)
+        per = (time.perf_counter() - t0) / n
+        out["s_per_sweep_" + tag] = round(per, 4)
+        objs[tag] = float(recs["Data"][40][-1]) + \
+            float(alphas[40]) * float(recs["Reg"][40][-1])
+        out["objective_" + tag] = round(objs[tag], 2)
+    out["compact_pd_obj_rel_dev"] = round(
+        abs(objs["exact"] - objs["compact"]) / abs(objs["exact"]), 6)
+    out["speedup"] = round(out["s_per_sweep_exact"]
+                           / out["s_per_sweep_compact"], 3)
+    return out
+
+
 def config3_sweep_shepp64_alpha_rho():
     """Deconvolution-study sweep on the north-star volume: an 8×8
     alpha×rho grid of Shepp-Logan 64³ TVL2 ADMM solves (20×10) with
@@ -1064,6 +1108,7 @@ def main():
                    config3_batched_ab,
                    config4_man1024_alpha_sweep,
                    config4_man1024_alpha_sweep_fused,
+                   config4_man1024_alpha_sweep_compact,
                    config_scale_256cubed,
                    config_scale_256cubed_blocked,
                    config_scale_256cubed_blocked_cg,
@@ -1145,6 +1190,11 @@ def main():
                 and abs(od - anchor_d) > 2e-4 * abs(anchor_d):
             failures.append("%s: compact_dirs objective %s vs %s drifts "
                             "past 0.02%%" % (cfg, od, anchor_d))
+        # bf16-STATE PD kernel (opt-in): rounding-class band, not parity
+        cdev = out.get("compact_pd_obj_rel_dev")
+        if cdev is not None and cdev > 2e-2:
+            failures.append("%s: compact-PD objective deviates %g > 2%% "
+                            "from the exact kernel" % (cfg, cdev))
         if cfg.startswith("lena256_huber_admm") and "objective" in out:
             huber_objs[cfg] = out["objective"]
     if len(huber_objs) > 1:
